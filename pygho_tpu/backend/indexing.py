@@ -1,0 +1,296 @@
+"""Host-side (numpy) sparse-index engine.
+
+Everything here runs on CPU in the data pipeline, *never* on device.  This is
+the TPU-native answer to the reference's device-side index plumbing
+(reference: pygho/backend/SpTensor.py:10-197 hashing/coalescing and
+pygho/backend/Spspmm.py:57-222 spspmm_ind/spsphadamard_ind/filterind): on TPU
+all data-dependent shapes must be resolved before jit, so the index machinery
+lives on the host and emits fixed-size (bucket-padded) int32 arrays.
+
+Key conventions
+---------------
+- Indices are int32 on device (int64 on host while hashing).
+- A *sorted lexicographic order* (by ``indicehash``) is the canonical
+  invariant of every coalesced index array, as in the reference
+  (SpTensor.py:167-197).  Sorted order is what lets the device use
+  one-pass sorted segment reductions instead of atomics.
+- Padding uses ``PAD_INDEX`` (a large positive int32).  Padded entries sort
+  after every real entry, are dropped by XLA scatters (out-of-bounds =>
+  mode="drop") and clamp harmlessly in gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+# Large positive sentinel for padded index slots.  2**30 is far above any
+# realistic node/tuple count yet safely inside int32.  Scatters to it are
+# dropped; gathers from it clamp to the last row (whose contribution is
+# always masked out downstream).
+PAD_INDEX: int = 1 << 30
+
+
+# ---------------------------------------------------------------------------
+# hashing (reference SpTensor.py:10-164)
+# ---------------------------------------------------------------------------
+
+
+def indicehash(indice: np.ndarray) -> np.ndarray:
+    """Pack ``(sparse_dim, nnz)`` indices into a single int64 key per column,
+    preserving lexicographic order.
+
+    Same bit-packing contract as the reference (SpTensor.py:36-44):
+    ``63 // sparse_dim`` bits per dimension, which caps the index range at
+    2^31 for pairs and 2^21 for triples.
+    """
+    indice = np.asarray(indice, dtype=np.int64)
+    assert indice.ndim == 2
+    sparse_dim = indice.shape[0]
+    if sparse_dim == 1:
+        return indice[0].copy()
+    assert np.all(indice >= 0), "negative index cannot be hashed"
+    interval = 63 // sparse_dim
+    if indice.size:
+        assert int(indice.max()) < (1 << interval), (
+            "index too large for injective hash")
+    out = indice[sparse_dim - 1].copy()
+    for i in range(1, sparse_dim):
+        out |= indice[sparse_dim - 1 - i] << (interval * i)
+    return out
+
+
+def decodehash(h: np.ndarray, sparse_dim: int) -> np.ndarray:
+    """Inverse of :func:`indicehash`."""
+    h = np.asarray(h, dtype=np.int64)
+    if sparse_dim == 1:
+        return h[None].copy()
+    assert h.ndim == 1
+    interval = 63 // sparse_dim
+    mask = (1 << interval) - 1
+    shifts = (sparse_dim - 1 - np.arange(sparse_dim, dtype=np.int64))[:, None]
+    return (h[None, :] >> (shifts * interval)) & mask
+
+
+def indicehash_tight(indice: np.ndarray, dimsize: Sequence[int]) -> np.ndarray:
+    """Row-major flatten of indices given per-dimension sizes
+    (reference SpTensor.py:90-127)."""
+    indice = np.asarray(indice, dtype=np.int64)
+    dimsize = np.asarray(dimsize, dtype=np.int64)
+    assert indice.ndim == 2 and dimsize.ndim == 1
+    assert dimsize.shape[0] == indice.shape[0]
+    assert int(np.prod(dimsize)) < (1 << 62)
+    if indice.shape[0] == 1:
+        return indice[0].copy()
+    step = np.ones_like(dimsize)
+    step[:-1] = np.cumprod(dimsize[1:][::-1])[::-1]
+    return (step[:, None] * indice).sum(axis=0)
+
+
+def decodehash_tight(h: np.ndarray, dimsize: Sequence[int]) -> np.ndarray:
+    """Inverse of :func:`indicehash_tight`."""
+    h = np.asarray(h, dtype=np.int64)
+    dimsize = np.asarray(dimsize, dtype=np.int64)
+    if dimsize.shape[0] == 1:
+        return h[None].copy()
+    step = np.ones_like(dimsize)
+    step[:-1] = np.cumprod(dimsize[1:][::-1])[::-1]
+    ret = h[None, :] // step[:, None]
+    ret[1:] -= ret[:-1] * dimsize[1:, None]
+    return ret
+
+
+# ---------------------------------------------------------------------------
+# coalescing (reference SpTensor.py:167-197)
+# ---------------------------------------------------------------------------
+
+
+def coalesce(
+    indices: np.ndarray,
+    values: Optional[np.ndarray] = None,
+    reduce: str = "sum",
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Sort indices lexicographically and merge duplicates, reducing values.
+
+    ``reduce`` in {"sum", "mean", "min", "max"}.  Returns int64 indices in
+    canonical sorted order.
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    h = indicehash(indices)
+    uh, inv = np.unique(h, return_inverse=True)
+    out_ind = decodehash(uh, indices.shape[0])
+    if values is None:
+        return out_ind, None
+    values = np.asarray(values)
+    n = uh.shape[0]
+    if reduce == "sum" or reduce == "mean":
+        out = np.zeros((n,) + values.shape[1:], dtype=values.dtype)
+        np.add.at(out, inv, values)
+        if reduce == "mean":
+            cnt = np.zeros((n,), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            out = out / np.maximum(cnt, 1).reshape((-1,) + (1,) * (values.ndim - 1))
+            out = out.astype(values.dtype)
+    elif reduce == "min":
+        out = np.full((n,) + values.shape[1:],
+                      _dtype_max(values.dtype), dtype=values.dtype)
+        np.minimum.at(out, inv, values)
+    elif reduce == "max":
+        out = np.full((n,) + values.shape[1:],
+                      _dtype_min(values.dtype), dtype=values.dtype)
+        np.maximum.at(out, inv, values)
+    else:
+        raise ValueError(f"unknown reduce {reduce}")
+    return out_ind, out
+
+
+def _dtype_max(dt):
+    dt = np.dtype(dt)
+    return np.iinfo(dt).max if dt.kind in "iu" else np.inf
+
+
+def _dtype_min(dt):
+    dt = np.dtype(dt)
+    return np.iinfo(dt).min if dt.kind in "iu" else -np.inf
+
+
+# ---------------------------------------------------------------------------
+# spspmm index precompute (reference Spspmm.py:57-222)
+# ---------------------------------------------------------------------------
+
+
+def spspmm_ind(
+    ind1: np.ndarray,
+    dim1: int,
+    ind2: np.ndarray,
+    dim2: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the output index set and the (b, c, d) contraction triples for a
+    sparse x sparse contraction eliminating ``dim1`` of ``ind1`` and ``dim2``
+    of ``ind2``.
+
+    Matches the reference contract (Spspmm.py:57-143): for every matching
+    pair (column c of ind1, column d of ind2) with
+    ``ind1[dim1, c] == ind2[dim2, d]``, the product ``val1[c] * val2[d]``
+    contributes to output entry ``b``, where the output index is the
+    concatenation of ind1 minus dim1 and ind2 minus dim2 (coalesced,
+    sorted).  Returns ``(tar_ind int64[sd1+sd2-2, m], bcd int64[3, k])``
+    with bcd sorted by b.
+    """
+    ind1 = np.asarray(ind1, dtype=np.int64)
+    ind2 = np.asarray(ind2, dtype=np.int64)
+    assert 0 <= dim1 < ind1.shape[0]
+    assert 0 <= dim2 < ind2.shape[0]
+    k1 = ind1[dim1]
+    k2 = ind2[dim2]
+    # sort ind2 along the contracted key so each k1 matches a contiguous run
+    perm2 = np.argsort(k2, kind="stable")
+    k2s = k2[perm2]
+    lo = np.searchsorted(k2s, k1, side="left")
+    hi = np.searchsorted(k2s, k1, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    # c: index into ind1 columns, one per matched pair
+    c = np.repeat(np.arange(ind1.shape[1], dtype=np.int64), cnt)
+    # position within each run
+    ptr = np.zeros(ind1.shape[1] + 1, dtype=np.int64)
+    np.cumsum(cnt, out=ptr[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(ptr[:-1], cnt)
+    d_sorted = np.repeat(lo, cnt) + within
+    d = perm2[d_sorted]
+    rest1 = np.delete(ind1, dim1, axis=0)
+    rest2 = np.delete(ind2, dim2, axis=0)
+    comb = indicehash(np.concatenate([rest1[:, c], rest2[:, d]], axis=0))
+    uh, b = np.unique(comb, return_inverse=True)
+    tar_ind = decodehash(uh, rest1.shape[0] + rest2.shape[0])
+    order = np.argsort(b, kind="stable")
+    bcd = np.stack([b[order], c[order], d[order]])
+    return tar_ind, bcd
+
+
+def spsphadamard_ind(tar_ind: np.ndarray, ind: np.ndarray) -> np.ndarray:
+    """For each column i of ``ind`` find its position in the sorted
+    ``tar_ind`` (or -1 if absent).  Reference Spspmm.py:146-183."""
+    tar_ind = np.asarray(tar_ind, dtype=np.int64)
+    ind = np.asarray(ind, dtype=np.int64)
+    assert tar_ind.shape[0] == ind.shape[0]
+    th = indicehash(tar_ind)
+    assert np.all(np.diff(th) > 0), "tar_ind must be sorted & coalesced"
+    ih = indicehash(ind)
+    pos = np.searchsorted(th, ih, side="right") - 1
+    pos = np.maximum(pos, 0)
+    b2a = np.where(th[pos] == ih, pos, -1)
+    return b2a
+
+
+def filterind(
+    tar_ind: np.ndarray,
+    ind: np.ndarray,
+    bcd: np.ndarray,
+) -> np.ndarray:
+    """Restrict bcd triples to output entries present in ``tar_ind``,
+    remapping b to positions in tar_ind => acd (reference Spspmm.py:186-222).
+
+    Result is sorted by a (ascending), the invariant the device segment
+    reduction relies on.
+    """
+    b2a = spsphadamard_ind(tar_ind, ind)
+    a = b2a[bcd[0]]
+    keep = a >= 0
+    acd = np.stack([a[keep], bcd[1][keep], bcd[2][keep]])
+    order = np.argsort(acd[0], kind="stable")
+    return acd[:, order]
+
+
+# ---------------------------------------------------------------------------
+# padding / bucketing (TPU-specific; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+
+def bucket_size(n: int, min_size: int = 128) -> int:
+    """Round ``n`` up to a small set of bucket sizes to bound recompiles
+    while keeping padding waste < ~25%: buckets are {2^k, 1.25*2^k, 1.5*2^k,
+    1.75*2^k} * min_size."""
+    if n <= min_size:
+        return min_size
+    import math
+
+    p = 1 << (int(n - 1)).bit_length()  # next pow2 >= n
+    half = p // 2
+    for frac in (1.25, 1.5, 1.75):
+        cand = int(half * frac)
+        if cand >= n:
+            return cand
+    return p
+
+
+def pad_indices(indices: np.ndarray, target_nnz: int) -> np.ndarray:
+    """Pad an (sparse_dim, nnz) int array to (sparse_dim, target_nnz) with
+    PAD_INDEX columns, returning int32."""
+    sd, nnz = indices.shape
+    assert target_nnz >= nnz, (target_nnz, nnz)
+    out = np.full((sd, target_nnz), PAD_INDEX, dtype=np.int32)
+    out[:, :nnz] = indices
+    return out
+
+
+def pad_values(values: np.ndarray, target_nnz: int) -> np.ndarray:
+    """Pad an (nnz, *dense) array with zero rows to target_nnz."""
+    nnz = values.shape[0]
+    assert target_nnz >= nnz
+    out = np.zeros((target_nnz,) + values.shape[1:], dtype=values.dtype)
+    out[:nnz] = values
+    return out
+
+
+def pad_acd(acd: np.ndarray, target: int) -> np.ndarray:
+    """Pad (3, k) acd triples to (3, target).  Padded rows are
+    (PAD_INDEX, 0, 0): the gathers read row 0 (valid, cheap) and the scatter
+    drops the contribution (out-of-bounds target)."""
+    k = acd.shape[1]
+    assert target >= k
+    out = np.zeros((3, target), dtype=np.int32)
+    out[0, k:] = PAD_INDEX
+    out[:, :k] = acd
+    return out
