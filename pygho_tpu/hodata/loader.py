@@ -1,0 +1,139 @@
+"""Dataloaders + pre-transform builders (reference pygho/hodata/Wrapper.py).
+
+A loader shuffles per epoch, collates with stable shape buckets (padding
+sizes only grow, so jit recompiles a handful of times in epoch 1 and then
+never again) and optionally double-buffers host->device transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from .sp_data import sp_datapreprocess, collate_sparse, batch_to_sparse_dict
+from .ma_data import ma_datapreprocess, collate_dense, batch_to_dense_dict
+
+
+def Sppretransform(tuplesamplers, annotate: Sequence[str] = ("",),
+                   keys: Sequence[str] = ("",)):
+    """Build the sparse pre-transform fn (reference Wrapper.py:30-56)."""
+    if callable(tuplesamplers):
+        tuplesamplers = [tuplesamplers]
+    return functools.partial(sp_datapreprocess,
+                             tuplesamplers=tuplesamplers,
+                             annotate=tuple(annotate), keys=tuple(keys))
+
+
+def Mapretransform(tuplesamplers, annotate: Sequence[str] = ("",)):
+    """Build the dense pre-transform fn (reference Wrapper.py:59-76)."""
+    if callable(tuplesamplers):
+        tuplesamplers = [tuplesamplers]
+    return functools.partial(ma_datapreprocess,
+                             tuplesamplers=tuplesamplers,
+                             annotate=tuple(annotate))
+
+
+class _BaseLoader:
+    def __init__(self, dataset: List[Dict[str, Any]], batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 seed: int = 0, device_put: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.device_put = device_put
+        self.prefetch = prefetch
+        self.buckets: Dict[str, int] = {}
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def _order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _collate(self, datas):
+        raise NotImplementedError
+
+    def _host_batches(self):
+        idx = self._order()
+        bs = self.batch_size
+        stop = (len(idx) // bs) * bs if self.drop_last else len(idx)
+        for s in range(0, stop, bs):
+            chunk = [self.dataset[i] for i in idx[s:s + bs]]
+            yield self._collate(chunk)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for b in self._host_batches():
+                yield self._to_device(b)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in self._host_batches():
+                    q.put(b)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is SENTINEL:
+                break
+            yield self._to_device(b)
+
+    def _to_device(self, batch):
+        if not self.device_put:
+            return batch
+        import jax
+
+        return jax.tree.map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+            batch)
+
+
+class SpDataloader(_BaseLoader):
+    """Sparse batches (reference Wrapper.py:101-132).  Yields collated
+    numpy/device dicts; call hodata.batch_to_sparse_dict inside your jit
+    step to wrap them into SparseTensors."""
+
+    def __init__(self, dataset, batch_size: int, keys: Sequence[str] = ("",),
+                 annotate: Sequence[str] = ("",), **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.keys = tuple(keys)
+        self.annotate = tuple(annotate)
+
+    def _collate(self, datas):
+        return collate_sparse(datas, self.keys, self.annotate,
+                              num_graphs=self.batch_size,
+                              buckets=self.buckets)
+
+
+class MaDataloader(_BaseLoader):
+    """Dense batches (reference Wrapper.py:135-176)."""
+
+    def __init__(self, dataset, batch_size: int,
+                 annotate: Sequence[str] = ("",), denseadj: bool = True,
+                 **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.annotate = tuple(annotate)
+        self.denseadj = denseadj
+
+    def _collate(self, datas):
+        return collate_dense(datas, self.annotate,
+                             num_graphs=self.batch_size,
+                             buckets=self.buckets, denseadj=self.denseadj)

@@ -1,0 +1,199 @@
+"""Published HOGNN layers (reference pygho/honn/Conv.py).
+
+Seven conv layers composed from the L3 operators; each supports the mode
+strings of the reference ("SS"/"SD"/"DD" where applicable).  All MLPs are
+mask-aware (padded rows / padded dense slots never leak into batch-norm
+statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Union
+
+import jax
+from flax import nnx
+
+from ..backend.sptensor import SparseTensor
+from ..backend.matensor import MaskedTensor
+from . import tensorop as TensorOp
+from .utils import MLP, HeteroLinear
+
+Tensorish = Union[SparseTensor, MaskedTensor]
+
+
+def _mask_of(X: Tensorish):
+    return X.rowmask if isinstance(X, SparseTensor) else X.mask
+
+
+def _apply(X: Tensorish, lin: MLP) -> Tensorish:
+    """tuplewiseapply with the validity mask forwarded to the MLP's norms."""
+    m = _mask_of(X)
+    return X.tuplewiseapply(lambda v: lin(v, m))
+
+
+class NGNNConv(nnx.Module):
+    """Nested GNN layer: X <- MP_subg2D(A, MLP(X))
+    (reference Conv.py:20-58; Zhang & Li, NeurIPS 2021)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 opadj: str = "A", message_func: Optional[Callable] = None,
+                 *, rngs: nnx.Rngs):
+        self.aggr = TensorOp.OpMessagePassingOnSubg2D(
+            mode, aggr, optuplefeat, opadj, message_func)
+        self.lin = MLP(indim, outdim, rngs=rngs, **mlp)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        tX = _apply(X, self.lin)
+        return self.aggr(A, tX, datadict, tX)
+
+    forward = __call__
+
+
+class SSWLConv(nnx.Module):
+    """Subgraph WL layer: cat[X, MP_subg(A,X), MP_cross(A,X)] -> MLP
+    (reference Conv.py:62-103; B. Zhang et al., ICML 2023)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 opadj: str = "A", *, rngs: nnx.Rngs):
+        self.aggr1 = TensorOp.OpMessagePassingOnSubg2D(
+            mode, aggr, optuplefeat, opadj)
+        self.aggr2 = TensorOp.OpMessagePassingCrossSubg2D(
+            mode, aggr, optuplefeat, opadj)
+        self.lin = MLP(3 * indim, outdim, rngs=rngs, **mlp)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        X1 = self.aggr1(A, X, datadict, X)
+        X2 = self.aggr2(A, X, datadict, X)
+        return _apply(X.catvalue([X1, X2], True), self.lin)
+
+    forward = __call__
+
+
+class I2Conv(nnx.Module):
+    """I2-GNN layer on 3-tuples: X <- MP_subg3D(A, MLP(X))
+    (reference Conv.py:107-147; Huang et al., ICLR 2023)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 opadj: str = "A", *, rngs: nnx.Rngs):
+        self.aggr = TensorOp.OpMessagePassingOnSubg3D(
+            mode, aggr, optuplefeat, opadj)
+        self.lin = MLP(indim, outdim, rngs=rngs, **mlp)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        tX = _apply(X, self.lin)
+        return self.aggr(A, tX, datadict, tX)
+
+    forward = __call__
+
+
+class DSSGNNConv(nnx.Module):
+    """ESAN/DSS layer: cat[MP_subg(A,X), unpool(nodeMP(A, pool_cross(X)))]
+    -> MLP (reference Conv.py:151-196; Bevilacqua et al., ICLR 2022)."""
+
+    def __init__(self, indim: int, outdim: int, aggr_subg: str = "sum",
+                 aggr_global: str = "sum", pool: str = "mean",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 opadj: str = "A", *, rngs: nnx.Rngs):
+        self.aggr_subg = TensorOp.OpMessagePassingOnSubg2D(
+            mode, aggr_subg, optuplefeat, opadj)
+        self.pool2global = TensorOp.OpPoolingCrossSubg2D(mode[1], pool)
+        self.aggr_global = TensorOp.OpNodeMessagePassing(mode, aggr_global)
+        self.unpooling2subg = TensorOp.OpUnpoolingRootNodes2D(mode[1])
+        self.lin = MLP(2 * indim, outdim, rngs=rngs, **mlp)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        X1 = self.unpooling2subg(self.aggr_global(A, self.pool2global(X)), X)
+        X2 = self.aggr_subg(A, X, datadict, X)
+        return _apply(X2.catvalue(X1, True), self.lin)
+
+    forward = __call__
+
+
+class PPGNConv(nnx.Module):
+    """Provably-powerful GN layer: 2-FWL product MLP1(X) @ MLP2(X)
+    (reference Conv.py:200-236; Maron et al., NeurIPS 2019)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 *, rngs: nnx.Rngs):
+        self.op = TensorOp.Op2FWL(mode, aggr, optuplefeat)
+        self.lin1 = MLP(indim, outdim, rngs=rngs, **mlp)
+        self.lin2 = MLP(indim, outdim, rngs=rngs, **mlp)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        return self.op(_apply(X, self.lin1), _apply(X, self.lin2),
+                       datadict, X)
+
+    forward = __call__
+
+
+class GNNAKConv(nnx.Module):
+    """GNN-as-kernel layer: MP then cat[unpool(diag), unpool(pool_subg),
+    unpool(pool_cross)] -> MLP (reference Conv.py:240-297; Zhao et al.,
+    ICLR 2022)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 pool: str = "mean", mode: str = "SS", mlp0: dict = {},
+                 mlp1: dict = {}, ctx: bool = True, optuplefeat: str = "X",
+                 opadj: str = "A", *, rngs: nnx.Rngs):
+        self.lin0 = MLP(indim, indim, rngs=rngs, **mlp0)
+        self.aggr = TensorOp.OpMessagePassingOnSubg2D(
+            mode, aggr, optuplefeat, opadj)
+        self.diag = TensorOp.OpDiag2D(mode[1])
+        self.pool2subg = TensorOp.OpPoolingSubg2D(mode[1], pool)
+        self.unpool4subg = TensorOp.OpUnpoolingSubgNodes2D(mode[1])
+        self.ctx = ctx
+        if ctx:
+            self.pool2node = TensorOp.OpPoolingCrossSubg2D(mode[1], pool)
+            self.unpool4rootnode = TensorOp.OpUnpoolingRootNodes2D(mode[1])
+        self.lin = MLP(3 * indim if ctx else 2 * indim, outdim,
+                       rngs=rngs, **mlp1)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        X = self.aggr(A, _apply(X, self.lin0), datadict, X)
+        X1 = self.unpool4subg(self.diag(X), X)
+        X2 = self.unpool4subg(self.pool2subg(X), X)
+        if self.ctx:
+            X3 = self.unpool4rootnode(self.pool2node(X), X)
+            return _apply(X2.catvalue([X1, X3], True), self.lin)
+        return _apply(X2.catvalue(X1, True), self.lin)
+
+    forward = __call__
+
+
+class SUNConv(nnx.Module):
+    """SUN layer: 7-branch concat + diagonal-vs-offdiagonal HeteroLinear +
+    MLP (reference Conv.py:301-363; Frasca et al., NeurIPS 2022)."""
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 pool: str = "mean", mode: str = "SS", mlp0: dict = {},
+                 mlp1: dict = {}, optuplefeat: str = "X", opadj: str = "A",
+                 *, rngs: nnx.Rngs):
+        self.lin0 = MLP(indim, indim, rngs=rngs, **mlp0)
+        self.aggr = TensorOp.OpMessagePassingOnSubg2D(
+            mode, aggr, optuplefeat, opadj)
+        self.diag = TensorOp.OpDiag2D(mode[1])
+        self.pool2subg = TensorOp.OpPoolingSubg2D(mode[1], pool)
+        self.unpool4subg = TensorOp.OpUnpoolingSubgNodes2D(mode[1])
+        self.pool2node = TensorOp.OpPoolingCrossSubg2D(mode[1], pool)
+        self.unpool4rootnode = TensorOp.OpUnpoolingRootNodes2D(mode[1])
+        self.lin1_0 = HeteroLinear(7 * indim, indim, 2, False, rngs=rngs)
+        self.lin1_1 = MLP(indim, outdim, rngs=rngs, **mlp1)
+
+    def __call__(self, A: Tensorish, X: Tensorish, datadict: Dict) -> Tensorish:
+        X4 = self.aggr(A, _apply(X, self.lin0), datadict, X)
+        Xdiag = self.diag(X)
+        X1 = X
+        X2 = self.unpool4subg(Xdiag, X)
+        X3 = self.unpool4rootnode(Xdiag, X)
+        X5 = self.unpool4rootnode(self.pool2node(X), X)
+        X6 = self.unpool4subg(self.pool2subg(X), X)
+        X7 = self.unpool4rootnode(self.pool2node(X4), X)
+        Xc = X1.catvalue([X2, X3, X4, X5, X6, X7], True)
+        Xc = Xc.diagonalapply(self.lin1_0)
+        return _apply(Xc, self.lin1_1)
+
+    forward = __call__

@@ -1,0 +1,11 @@
+"""Model assembly: flagship HOGNN models for graph regression /
+classification (reference example/minimal.py + example/zinc.py models)."""
+
+from .zinc import (InputEncoderSp, InputEncoderMa, InputEncoderI2,
+                   SpModel, MaModel, make_sp_model, make_ma_model)
+from . import training
+
+__all__ = [
+    "InputEncoderSp", "InputEncoderMa", "InputEncoderI2",
+    "SpModel", "MaModel", "make_sp_model", "make_ma_model", "training",
+]
