@@ -1,0 +1,151 @@
+"""Benchmark: sparse tuple message-passing throughput on one chip.
+
+Measures the hot kernel — the spspmm gather-multiply-segment-reduce over
+precomputed acd triples — on a ZINC-scale NGNN workload (batch=128
+graphs, hop=3 ego-nets, d=128, the example/minimal.py configuration),
+plus the full jitted train step.
+
+Timing methodology (required by the axon tunnel, whose
+``block_until_ready`` acks before execution completes): the kernel is
+iterated inside ONE jitted lax.fori_loop with a data dependency between
+iterations, the result is materialized to host, and the measured
+host round-trip latency is subtracted.
+
+Prints ONE JSON line:
+  value: useful acd rows per second for the SpMM forward pass
+  vs_baseline: fraction of the HBM roofline
+    (roofline = BW / bytes_per_row, bytes_per_row = 3 * d * 4 f32:
+     read A-row + read X-row + write out-row per acd row).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HBM_BW = {
+    "v5e": 819e9, "v5litepod": 819e9, "v4": 1228e9, "v5p": 2765e9,
+    "v6e": 1640e9,
+}
+
+
+def main():
+    import jax
+    # NOTE: do NOT enable jax_compilation_cache_dir here — it deadlocks
+    # against the axon remote-compile tunnel in this container.
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from pygho_tpu.hodata import Sppretransform, collate_sparse
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+    from pygho_tpu.models.training import make_sparse_steps, make_optimizer
+    from pygho_tpu.backend.spspmm import spspmm
+
+    dev = jax.devices()[0]
+    log("device:", dev, "platform:", dev.platform)
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    bw = HBM_BW.get(gen, 819e9)
+
+    D = 128
+    model = make_sp_model("NGNN", num_layer=6, hiddim=D,
+                          mlp={"norm": "bn", "act": "silu"})
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=128, seed=5)
+    pre = Sppretransform(partial(KhopSampler, hop=3), [""], keys)
+    t0 = time.time()
+    datas = [pre(g) for g in graphs]
+    log(f"preprocess: {time.time() - t0:.1f}s")
+    batch = collate_sparse(datas, keys, num_graphs=128)
+    key = keys[0]
+    acd = batch[f"{key}___acd"]
+    acd_rows = int(np.sum(acd[0] < (1 << 30)))
+    nnz = int(batch["num_tuples"])
+    nnz_pad = batch["tupleid"].shape[1]
+    log(f"batch: {nnz} tuples ({nnz_pad} padded), "
+        f"{acd_rows} acd rows ({acd.shape[1]} padded)")
+
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+
+    def rtt():
+        t0 = time.perf_counter()
+        float(jnp.sum(batch["tuplefeat"]))
+        return time.perf_counter() - t0
+
+    # ---- raw SpMM kernel (forward), iterated in-jit ---------------------
+    N_ITER = 100
+
+    @jax.jit
+    def spmm_loop(batch, vals):
+        dd = batch_to_sparse_dict(batch)
+        A = dd["A"].tuplewiseapply(
+            lambda v: jnp.ones(v.shape + (D,), jnp.float32))
+        X0 = dd["X"]
+
+        def body(i, vals):
+            X = X0.tuplewiseapply(lambda _: vals)
+            out = spspmm(X, 1, A, 0, "sum", acd=batch[f"{key}___acd"],
+                         tarX=X)
+            return out.values
+
+        return jax.lax.fori_loop(0, N_ITER, body, vals)
+
+    vals = jax.device_put(
+        np.random.default_rng(0).normal(
+            size=(nnz_pad, D)).astype(np.float32))
+    float(jnp.sum(spmm_loop(batch, vals)))  # compile + warm
+    base_rtt = min(rtt(), rtt())
+    t0 = time.perf_counter()
+    float(jnp.sum(spmm_loop(batch, vals)))
+    dt = (time.perf_counter() - t0 - base_rtt) / N_ITER
+    rows_per_s = acd_rows / dt
+    bytes_per_row = 3 * D * 4
+    roofline_rows = bw / bytes_per_row
+    log(f"spmm fwd: {dt * 1e3:.3f} ms/iter -> {rows_per_s / 1e9:.3f} "
+        f"G rows/s (roofline {roofline_rows / 1e9:.3f}; rtt "
+        f"{base_rtt * 1e3:.0f} ms)")
+
+    # ---- full train step (python-dispatched; state chains the steps) ----
+    opt = make_optimizer(model, 1e-3)
+    train_step, _ = make_sparse_steps()
+    loss = float(train_step(model, opt, batch))  # compile
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        l = train_step(model, opt, batch)
+    final = float(l)  # waits for the whole dependent chain
+    step_dt = (time.perf_counter() - t0 - base_rtt) / n_steps
+    # 6 layers x (fwd + dX + dA) gather-scatter passes over acd
+    step_rows = 6 * 3 * acd_rows / step_dt
+    log(f"train step: {step_dt * 1e3:.1f} ms "
+        f"({step_rows / 1e9:.3f} G acd-rows/s incl. backward), "
+        f"loss {loss:.4f} -> {final:.4f}")
+
+    print(json.dumps({
+        "metric": "tuple-edges/s/chip (SpMM fwd, ZINC NGNN d=128)",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": rows_per_s / roofline_rows,
+        "extra": {
+            "spmm_ms": dt * 1e3,
+            "train_step_ms": step_dt * 1e3,
+            "train_rows_per_s": step_rows,
+            "acd_rows": acd_rows,
+            "platform": str(dev),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

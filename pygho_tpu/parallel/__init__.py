@@ -1,0 +1,21 @@
+"""Distribution layer: device meshes, data-parallel training, tuple-parallel
+sparse contraction.
+
+The reference has no distributed support at all (SURVEY.md §2.7); this
+subsystem is net-new design per BASELINE.json:
+- mesh axes ("dp", "sp"): data-parallel over graphs first (graphs are
+  independent blocks of the block-diagonal batch), then tuple/edge
+  partitioning of the contraction triples for single-giant-graph scaling.
+- All communication is XLA collectives over ICI (psum / all_gather /
+  ppermute inside shard_map) — never host-driven.
+"""
+
+from .mesh import make_mesh
+from .data_parallel import (collate_sharded_sparse, make_dp_train_step,
+                            make_dp_eval_step)
+from .tuple_parallel import spspmm_tuple_parallel
+
+__all__ = [
+    "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
+    "make_dp_eval_step", "spspmm_tuple_parallel",
+]
