@@ -1,0 +1,111 @@
+"""Expressivity / counting benchmarks: CSL, EXP, sr25, subgraphcount
+(the datasets the reference stages under dataset/ without loader scripts;
+BASELINE.json configs 3-5).
+
+  python example/expressivity_tpu.py --dataset CSL   --conv NGNN
+  python example/expressivity_tpu.py --dataset EXP   --conv SSWL
+  python example/expressivity_tpu.py --dataset sr25  --conv NGNN
+  python example/expressivity_tpu.py --dataset count --conv I2GNN
+
+CSL/EXP/sr25 are classification (HOGNNs should reach ~100% where 1-WL
+GNNs are at chance); count is triangle-count regression.
+"""
+
+import argparse
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--dataset", choices=["CSL", "EXP", "sr25", "count"],
+                    default="CSL")
+parser.add_argument("--conv", default="NGNN")
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--epochs", type=int, default=60)
+parser.add_argument("--hiddim", type=int, default=64)
+parser.add_argument("--num_layer", type=int, default=4)
+parser.add_argument("--bs", type=int, default=32)
+parser.add_argument("--hop", type=int, default=3)
+parser.add_argument("--lr", type=float, default=2e-3)
+args = parser.parse_args()
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from pygho_tpu.hodata import (Sppretransform, SpDataloader,
+                              ParallelPreprocessDataset)
+from pygho_tpu.hodata.sp_sampler import KhopSampler, I2Sampler
+from pygho_tpu.hodata.datasets import (load_csl, load_exp, load_sr25,
+                                       synthetic_subgraphcount)
+from pygho_tpu.honn import parse_precomputekey
+from pygho_tpu.models import make_sp_model
+from pygho_tpu.models.training import (
+    make_sparse_steps, make_sparse_classification_steps, make_optimizer)
+from pygho_tpu.utils import MetricsLogger
+
+if args.dataset == "CSL":
+    graphs, num_classes, task = load_csl(), 10, "cls"
+elif args.dataset == "EXP":
+    graphs, num_classes, task = load_exp(), 2, "cls"
+elif args.dataset == "sr25":
+    graphs, num_classes, task = load_sr25(), 15, "cls"
+else:
+    graphs, num_classes, task = synthetic_subgraphcount(), 1, "reg"
+
+rng = np.random.default_rng(0)
+perm = rng.permutation(len(graphs))
+n_val = max(1, len(graphs) // 5)
+val_idx, trn_idx = perm[:n_val], perm[n_val:]
+if args.dataset == "sr25":    # task: memorize/separate all 15 graphs
+    trn_idx = val_idx = perm
+
+model = make_sp_model(args.conv, num_tasks=num_classes,
+                      num_layer=args.num_layer, hiddim=args.hiddim,
+                      mlp={"norm": "bn", "act": "silu"})
+keys = parse_precomputekey(model)
+sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
+           else partial(KhopSampler, hop=args.hop))
+ds = ParallelPreprocessDataset(
+    f"dataset/{args.dataset}_{args.conv}_h{args.hop}", graphs,
+    Sppretransform(sampler, [""], keys), 0)
+
+trn = SpDataloader([ds[i] for i in trn_idx], args.bs, keys, shuffle=True)
+val = SpDataloader([ds[i] for i in val_idx], args.bs, keys)
+
+opt = make_optimizer(model, args.lr)
+if task == "cls":
+    train_step, eval_step = make_sparse_classification_steps()
+else:
+    train_step, eval_step = make_sparse_steps()
+metrics = MetricsLogger(f"runs/expr_{args.dataset}_{args.conv}.jsonl")
+
+best = 0.0 if task == "cls" else float("inf")
+for epoch in range(1, args.epochs + 1):
+    t0 = time.time()
+    model.train()
+    losses = [float(train_step(model, opt, b)) for b in trn]
+    model.eval()
+    tot = np.zeros(2)
+    for b in val:
+        tot += np.asarray(eval_step(model, b))
+    if task == "cls":
+        score = tot[0] / tot[1]
+        best = max(best, score)
+        name = "acc"
+    else:
+        score = tot[0] / tot[1]
+        best = min(best, score)
+        name = "mae"
+    metrics.log({"type": "epoch", "epoch": epoch,
+                 "loss": float(np.mean(losses)), name: float(score)})
+    print(f"epoch {epoch} time {time.time()-t0:.1f}s "
+          f"loss {np.mean(losses):.4f} val {name} {score:.4f} "
+          f"(best {best:.4f})", flush=True)
+
+print(f"Final {args.dataset} {name}: {best:.4f}")

@@ -1,0 +1,136 @@
+"""Full ZINC-style benchmark harness — the reference example/zinc.py
+argparse matrix: {sparse|dense} x 7 convs x aggr/pool/norm/lr/schedule
+hyperparameters, repeated runs, per-epoch metrics.
+
+Run examples:
+  python example/zinc_tpu.py --sparse --conv NGNN
+  python example/zinc_tpu.py --conv PPGN            (dense / DD mode)
+  python example/zinc_tpu.py --sparse --conv I2GNN  (3-tuples)
+"""
+
+import argparse
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--sparse", action="store_true")
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--aggr", choices=["sum", "mean", "max"], default="sum")
+parser.add_argument("--conv", choices=["NGNN", "GNNAK", "DSSGNN", "SSWL",
+                                       "SUN", "PPGN", "I2GNN"],
+                    default="NGNN")
+parser.add_argument("--npool", choices=["mean", "sum", "max"], default="sum")
+parser.add_argument("--lpool", choices=["mean", "sum", "max"], default="mean")
+parser.add_argument("--cpool", choices=["mean", "sum", "max"], default="mean")
+parser.add_argument("--mlplayer", type=int, default=1)
+parser.add_argument("--outlayer", type=int, default=2)
+parser.add_argument("--norm", choices=["ln", "bn", "none"], default="bn")
+parser.add_argument("--lr", type=float, default=1e-3)
+parser.add_argument("--minlr", type=float, default=0.0)
+parser.add_argument("--wd", type=float, default=0.0)
+parser.add_argument("--dp", type=float, default=0.0)
+parser.add_argument("--bs", type=int, default=128)
+parser.add_argument("--normparam", type=float, default=0.1)
+parser.add_argument("--cosT", type=int, default=100)
+parser.add_argument("--K", type=float, default=0.0)
+parser.add_argument("--K2", type=float, default=0.0)
+parser.add_argument("--repeat", type=int, default=1)
+parser.add_argument("--epochs", type=int, default=100)
+parser.add_argument("--hop", type=int, default=3)
+parser.add_argument("--num_layer", type=int, default=6)
+parser.add_argument("--hiddim", type=int, default=128)
+args = parser.parse_args()
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from pygho_tpu.hodata import (Sppretransform, Mapretransform, SpDataloader,
+                              MaDataloader, ParallelPreprocessDataset)
+from pygho_tpu.hodata.sp_sampler import KhopSampler, I2Sampler
+from pygho_tpu.hodata.ma_sampler import spdsampler
+from pygho_tpu.hodata.datasets import synthetic_zinc
+from pygho_tpu.honn import parse_precomputekey
+from pygho_tpu.models import make_sp_model, make_ma_model
+from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
+                                       make_optimizer, cosine_warm_restarts)
+from pygho_tpu.utils import MetricsLogger, device_memory_stats
+
+mlpdict = {"dp": args.dp, "norm": args.norm, "act": "silu",
+           "normparam": args.normparam, "numlayer": args.mlplayer,
+           "tailact": True}
+
+
+def run_once(rep: int) -> float:
+    if args.sparse:
+        model = make_sp_model(args.conv, num_layer=args.num_layer,
+                              hiddim=args.hiddim, aggr=args.aggr,
+                              npool=args.npool, lpool=args.lpool,
+                              cpool=args.cpool, outlayer=args.outlayer,
+                              mlp=mlpdict, seed=rep)
+        keys = parse_precomputekey(model)
+        sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
+                   else partial(KhopSampler, hop=args.hop))
+        pre = Sppretransform(sampler, [""], keys)
+        tag = f"sp_{args.conv}_h{args.hop}"
+    else:
+        model = make_ma_model(args.conv, num_layer=args.num_layer,
+                              hiddim=args.hiddim, npool=args.npool,
+                              lpool=args.lpool, cpool=args.cpool,
+                              outlayer=args.outlayer, mlp=mlpdict, seed=rep)
+        keys = []
+        pre = Mapretransform(partial(spdsampler, hop=args.hop), [""])
+        tag = f"ma_{args.conv}_h{args.hop}"
+
+    ds = {s: ParallelPreprocessDataset(f"dataset/SYNZINC_{tag}_{s}",
+                                       synthetic_zinc(s), pre, 0)
+          for s in ("train", "val", "test")}
+    if args.sparse:
+        mk = lambda split, **kw: SpDataloader(ds[split].datas, args.bs,
+                                              keys, **kw)
+        train_step, eval_step = make_sparse_steps()
+    else:
+        mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)
+        train_step, eval_step = make_dense_steps()
+    loaders = {"train": mk("train", shuffle=True, drop_last=True),
+               "val": mk("val"), "test": mk("test")}
+
+    sched = cosine_warm_restarts(args.lr, args.cosT, len(loaders["train"]),
+                                 args.minlr, args.K, args.K2)
+    opt = make_optimizer(model, sched, args.wd)
+    metrics = MetricsLogger(f"runs/zinc_{tag}_r{rep}.jsonl")
+
+    best_val, tst = float("inf"), float("inf")
+    for epoch in range(1, args.epochs + 1):
+        t1 = time.time()
+        model.train()
+        losses = [train_step(model, opt, b) for b in loaders["train"]]
+        loss = float(np.mean([float(l) for l in losses]))
+        t2 = time.time()
+        model.eval()
+        tot = np.zeros(2)
+        for b in loaders["val"]:
+            tot += np.asarray(eval_step(model, b))
+        val = tot[0] / tot[1]
+        if val < best_val:
+            best_val = val
+            tot = np.zeros(2)
+            for b in loaders["test"]:
+                tot += np.asarray(eval_step(model, b))
+            tst = tot[0] / tot[1]
+        t3 = time.time()
+        mem = device_memory_stats().get("peak_gb_in_use", 0.0)
+        metrics.log_epoch(epoch, t2 - t1, t3 - t2, mem, loss, val, tst)
+        if np.isnan(loss) or np.isnan(val):
+            break
+    return tst
+
+
+scores = [run_once(r) for r in range(args.repeat)]
+print(f"All {np.average(scores)} {np.std(scores)}")

@@ -138,3 +138,86 @@ def load_csl(root: str = "/root/reference/dataset/CSL/raw") -> List[Graph]:
             edge_index=ei, edge_attr=None,
             y=np.array([int(y)], dtype=np.int64)))
     return graphs
+
+
+def _pyg_shim():
+    """Install a minimal torch_geometric shim so the reference's bundled
+    pickles (which reference torch_geometric.data.data.Data) unpickle
+    without PyG installed."""
+    import sys
+    import types
+
+    if "torch_geometric" in sys.modules:
+        return
+    tg = types.ModuleType("torch_geometric")
+    tgd = types.ModuleType("torch_geometric.data")
+    tgdd = types.ModuleType("torch_geometric.data.data")
+
+    class Data:  # minimal stand-in: attribute bag
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            else:  # PyG >= 2 stores a (dict,) or custom tuple
+                try:
+                    self.__dict__.update(dict(state))
+                except Exception:
+                    self.__dict__["_state"] = state
+
+    tgdd.Data = Data
+    tgd.Data = Data
+    tgd.data = tgdd
+    tg.data = tgd
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.data"] = tgd
+    sys.modules["torch_geometric.data.data"] = tgdd
+
+
+def load_exp(root: str = "/root/reference/dataset/EXP/raw",
+             which: str = "GRAPHSAT.pkl") -> List[Graph]:
+    """EXP expressivity dataset (reference dataset/EXP): pairs of
+    1-WL-indistinguishable graphs labeled by SAT satisfiability.  The raw
+    pickle stores PyG Data objects; a shim class stands in for PyG."""
+    _pyg_shim()
+    import torch
+
+    with open(os.path.join(root, which), "rb") as f:
+        datas = pickle.load(f)
+    graphs = []
+    for d in datas:
+        ei = np.asarray(d.edge_index, dtype=np.int64)
+        x = np.asarray(d.x)
+        if x.ndim == 1:
+            x = x[:, None]
+        y = np.asarray(d.y).reshape(-1)
+        graphs.append(Graph(x=x.astype(np.int64), edge_index=ei,
+                            edge_attr=None,
+                            y=y.astype(np.int64)))
+    return graphs
+
+
+def synthetic_subgraphcount(n_graphs: int = 512, seed: int = 3,
+                            n_lo: int = 10, n_hi: int = 30) -> List[Graph]:
+    """Substructure-counting dataset in the style of the reference's
+    dataset/subgraphcount (whose raw randomgraph.mat blob is stripped from
+    the snapshot, reference .MISSING_LARGE_BLOBS:1-2): random graphs with
+    per-graph triangle counts as the regression target (normalized)."""
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(n_lo, n_hi + 1))
+        p = float(rng.uniform(0.1, 0.3))
+        adj = rng.random((n, n)) < p
+        adj = np.triu(adj, 1)
+        adj = adj | adj.T
+        ei = np.stack(np.nonzero(adj)).astype(np.int64)
+        if ei.shape[1] == 0:
+            continue
+        tri = np.trace(np.linalg.matrix_power(adj.astype(np.float64), 3)) / 6
+        graphs.append(Graph(
+            x=np.zeros((n, 1), dtype=np.int64),
+            edge_index=ei, edge_attr=None,
+            y=np.array([tri / 10.0], dtype=np.float32)))
+    return graphs

@@ -112,3 +112,43 @@ def make_dense_steps(annotate=("",)):
         return jnp.stack([(jnp.abs(pred - y).mean(-1) * w).sum(), w.sum()])
 
     return train_step, eval_step
+
+
+def softmax_xent_loss(pred: jax.Array, y: jax.Array,
+                      graph_mask: jax.Array) -> jax.Array:
+    """Masked mean cross-entropy for graph classification (expressivity
+    benchmarks: CSL / EXP / sr25)."""
+    y = y.reshape(-1).astype(jnp.int32)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+    w = graph_mask.astype(pred.dtype)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def make_sparse_classification_steps(annotate=("",)):
+    """Jitted train/eval steps for graph classification on the sparse
+    path.  eval returns [correct_count, total_count]."""
+    from ..hodata.sp_data import batch_to_sparse_dict
+
+    @nnx.jit
+    def train_step(model: nnx.Module, optimizer: nnx.Optimizer,
+                   batch: Dict[str, Any]) -> jax.Array:
+        def loss_fn(model):
+            dd = batch_to_sparse_dict(batch, annotate)
+            pred = model(dd)
+            return softmax_xent_loss(pred, batch["y"], batch["graph_mask"])
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    @nnx.jit
+    def eval_step(model: nnx.Module, batch: Dict[str, Any]) -> jax.Array:
+        dd = batch_to_sparse_dict(batch, annotate)
+        pred = model(dd)
+        y = batch["y"].reshape(-1).astype(jnp.int32)
+        correct = (jnp.argmax(pred, -1) == y)
+        w = batch["graph_mask"].astype(pred.dtype)
+        return jnp.stack([(correct * w).sum(), w.sum()])
+
+    return train_step, eval_step

@@ -1,0 +1,14 @@
+"""Auxiliary subsystems: typed config, structured metrics, checkpointing,
+profiling (SURVEY.md §5 — all net-new relative to the reference, which had
+print-based logging and no checkpointing)."""
+
+from .config import ModelConfig, TrainConfig, ExperimentConfig
+from .metrics import MetricsLogger
+from .checkpoint import save_checkpoint, restore_checkpoint
+from .profiling import profile_trace, device_memory_stats
+
+__all__ = [
+    "ModelConfig", "TrainConfig", "ExperimentConfig", "MetricsLogger",
+    "save_checkpoint", "restore_checkpoint", "profile_trace",
+    "device_memory_stats",
+]
