@@ -191,13 +191,20 @@ def spspmm_ind(
     hi = np.searchsorted(k2s, k1, side="right")
     cnt = hi - lo
     total = int(cnt.sum())
-    # c: index into ind1 columns, one per matched pair
-    c = np.repeat(np.arange(ind1.shape[1], dtype=np.int64), cnt)
-    # position within each run
-    ptr = np.zeros(ind1.shape[1] + 1, dtype=np.int64)
-    np.cumsum(cnt, out=ptr[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(ptr[:-1], cnt)
-    d_sorted = np.repeat(lo, cnt) + within
+    from .. import native as _native
+
+    host = _native.get()
+    if host is not None:
+        c, d_sorted = host.spspmm_join(np.ascontiguousarray(lo),
+                                       np.ascontiguousarray(cnt))
+    else:
+        # c: index into ind1 columns, one per matched pair
+        c = np.repeat(np.arange(ind1.shape[1], dtype=np.int64), cnt)
+        # position within each run
+        ptr = np.zeros(ind1.shape[1] + 1, dtype=np.int64)
+        np.cumsum(cnt, out=ptr[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(ptr[:-1], cnt)
+        d_sorted = np.repeat(lo, cnt) + within
     d = perm2[d_sorted]
     rest1 = np.delete(ind1, dim1, axis=0)
     rest2 = np.delete(ind2, dim2, axis=0)

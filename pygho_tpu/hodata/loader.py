@@ -109,18 +109,59 @@ class _BaseLoader:
 class SpDataloader(_BaseLoader):
     """Sparse batches (reference Wrapper.py:101-132).  Yields collated
     numpy/device dicts; call hodata.batch_to_sparse_dict inside your jit
-    step to wrap them into SparseTensors."""
+    step to wrap them into SparseTensors.
+
+    ``build_plans=True`` additionally builds fused-kernel chunk plans for
+    every precompute key (datadict["<key>___plan"]), enabling the Pallas
+    spspmm path on TPU.  ``plan_geometry=(C, R, S)`` overrides the chunk
+    shape."""
 
     def __init__(self, dataset, batch_size: int, keys: Sequence[str] = ("",),
-                 annotate: Sequence[str] = ("",), **kw):
+                 annotate: Sequence[str] = ("",), build_plans: bool = False,
+                 plan_geometry=None, **kw):
         super().__init__(dataset, batch_size, **kw)
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
+        self.build_plans = build_plans
+        self.plan_geometry = plan_geometry
 
     def _collate(self, datas):
-        return collate_sparse(datas, self.keys, self.annotate,
-                              num_graphs=self.batch_size,
-                              buckets=self.buckets)
+        batch = collate_sparse(datas, self.keys, self.annotate,
+                               num_graphs=self.batch_size,
+                               buckets=self.buckets)
+        if self.build_plans:
+            self._add_plans(batch)
+        return batch
+
+    def _add_plans(self, batch):
+        from ..backend.indexing import bucket_size
+        from ..honn.sp_operator import KEYSEP
+        from ..hodata.sp_data import parsekey, parseop
+        from ..kernels import build_spspmm_plans
+        from ..kernels.fused_spspmm import DEFAULT_C, DEFAULT_R, DEFAULT_S
+
+        C, R, S = self.plan_geometry or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
+
+        def rows_of(op):
+            if op[0] == "X":
+                return batch[f"tupleid{op[1:]}"].shape[1]
+            return batch["edge_index"].shape[1]
+
+        for key in self.keys:
+            if not key:
+                continue
+            op0, op1, _, op2, _ = parsekey(key)
+            acd = batch[f"{key}{KEYSEP}acd"]
+            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                       rows_of(op0), C, R, S)
+            # stabilize chunk counts across batches
+            n = max(p.n_chunks for p in plans)
+            pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
+            self.buckets[f"plan{key}"] = pad
+            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                       rows_of(op0), C, R, S,
+                                       pad_chunks_to=pad)
+            batch[f"{key}{KEYSEP}plan"] = plans
 
 
 class MaDataloader(_BaseLoader):

@@ -84,8 +84,8 @@ class OpMessagePassing(nnx.Module):
 
     def __call__(self, A: SparseTensor, B: SparseTensor, datadict: Dict,
                  tarX: Optional[SparseTensor] = None) -> SparseTensor:
-        acd = _fetch_acd(datadict, self.precomputekey)
         if self.message_func is not None:
+            acd = _fetch_acd(datadict, self.precomputekey)
             assert tarX is not None, \
                 "target pattern required for message_func mode"
             return spspmpnn(A, self.dim1, B, self.dim2, tarX, acd,
@@ -93,6 +93,24 @@ class OpMessagePassing(nnx.Module):
         assert tarX is not None, (
             "tarX (target pattern) is required: the TPU path has no "
             "dynamic-pattern fallback")
+        plans = datadict.get(f"{self.precomputekey}{KEYSEP}plan", None)
+        if (plans is not None and self.aggr == "sum"
+                and A.values is not None and B.values is not None
+                and A.values.ndim == 2 and B.values.ndim == 2
+                and A.values.shape[1] == B.values.shape[1]):
+            # fused Pallas path (sum aggregation, matching feature dims)
+            from ..kernels import fused_spspmm
+
+            fwd, dxp, dap = plans
+            vals = fused_spspmm(A.values, B.values, fwd, dxp,
+                                dap)[: tarX.nnz_pad]
+            keep_shape = (tuple(A.sparse_shape[:self.dim1])
+                          + tuple(A.sparse_shape[self.dim1 + 1:])
+                          + tuple(B.sparse_shape[:self.dim2])
+                          + tuple(B.sparse_shape[self.dim2 + 1:]))
+            return SparseTensor(indices=tarX.indices, values=vals,
+                                nnz=tarX.nnz, sparse_shape=keep_shape)
+        acd = _fetch_acd(datadict, self.precomputekey)
         return spspmm(A, self.dim1, B, self.dim2, self.aggr, acd=acd,
                       tarX=tarX)
 

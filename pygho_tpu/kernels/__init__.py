@@ -1,0 +1,16 @@
+"""Pallas TPU kernels for the sparse hot path.
+
+``fused_spspmm``: the gather-multiply-segment-reduce contraction
+(out[t] += U[u] * V[v] over host-planned triples) executed as one fused
+Pallas kernel — one HBM pass over each operand block instead of XLA's
+separate gather / multiply / scatter materializations.  The plan
+(chunking of the triple array into VMEM-resident blocks) is built on the
+host at batch-collation time, in the same spirit as the acd precompute
+protocol.
+"""
+
+from .fused_spspmm import (ChunkPlan, build_chunk_plan, build_spspmm_plans,
+                           fused_spspmm, fused_contract)
+
+__all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
+           "fused_spspmm", "fused_contract"]

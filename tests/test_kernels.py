@@ -1,0 +1,95 @@
+"""Fused Pallas kernel tests (interpret mode on CPU; the real-TPU compile
+is exercised by bench.py and the TPU drive scripts)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pygho_tpu.backend import indexing
+from pygho_tpu.backend.sptensor import SparseTensor
+from pygho_tpu.backend.spspmm import spspmm
+from pygho_tpu.kernels import (build_chunk_plan, build_spspmm_plans,
+                               fused_contract, fused_spspmm)
+
+from utils import maxdiff
+
+
+def _case(rng, n=24, d=128, density=0.5, nnz_pad=512, acd_pad=2048):
+    dense = rng.normal(size=(n, n)) * (rng.random((n, n)) > 1 - density)
+    ij = np.nonzero(dense)
+    ind = np.stack(ij).astype(np.int64)
+    X = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], d)).astype(np.float32), (n, n),
+        nnz_pad=nnz_pad)
+    A = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], d)).astype(np.float32), (n, n),
+        nnz_pad=nnz_pad)
+    tar, bcd = indexing.spspmm_ind(ind, 1, ind, 0)
+    acd = indexing.filterind(ind, tar, bcd)
+    acd_p = indexing.pad_acd(acd, acd_pad)
+    return X, A, acd_p
+
+
+def test_chunk_plan_covers_all_blocks(rng):
+    X, A, acd_p = _case(rng)
+    fwd, dxp, dap = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad,
+                                       X.nnz_pad, C=128, R=256, S=128)
+    for p in (fwd, dxp, dap):
+        obs = np.asarray(p.oblk)
+        # every output block visited at least once, in order
+        assert set(obs.tolist()) == set(range(p.out_rows // p.S))
+        assert np.all(np.diff(obs) >= 0)
+        # local indices within bounds (or the drop sentinel S for t)
+        tl = np.asarray(p.tuv_local)
+        assert tl[:, 0].max() <= p.S
+        assert tl[:, 1].max() < p.R
+        assert tl[:, 2].max() < p.R
+
+
+def test_fused_forward_matches_xla(rng):
+    X, A, acd_p = _case(rng)
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+    fwd, dxp, dap = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad,
+                                       X.nnz_pad, C=256, R=512, S=256)
+    out = fused_spspmm(X.values, A.values, fwd, dxp, dap, True)[: X.nnz_pad]
+    assert maxdiff(out, ref.values) < 1e-5
+
+
+def test_fused_gradients_match_xla(rng):
+    X, A, acd_p = _case(rng)
+    fwd, dxp, dap = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad,
+                                       X.nnz_pad, C=256, R=512, S=256)
+
+    def loss_fused(xv, av):
+        return (fused_spspmm(xv, av, fwd, dxp, dap, True)[: X.nnz_pad]
+                ** 2).sum()
+
+    def loss_ref(xv, av):
+        X2 = SparseTensor(X.indices, xv, X.nnz, X.sparse_shape)
+        A2 = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+        return (spspmm(X2, 1, A2, 0, "sum", acd=jnp.asarray(acd_p),
+                       tarX=X2).values ** 2).sum()
+
+    g1 = jax.grad(loss_fused, (0, 1))(X.values, A.values)
+    g2 = jax.grad(loss_ref, (0, 1))(X.values, A.values)
+    assert maxdiff(g1[0], g2[0]) < 1e-4
+    assert maxdiff(g1[1], g2[1]) < 1e-4
+
+
+def test_fused_empty_blocks_are_zero(rng):
+    """Output rows in blocks with no contributions must be exactly 0."""
+    n, d = 8, 128
+    ind = np.array([[0, 1], [1, 0]])
+    X = SparseTensor.from_numpy(
+        ind, np.ones((2, d), np.float32), (n, n), nnz_pad=256)
+    A = SparseTensor.from_numpy(
+        ind, np.ones((2, d), np.float32), (n, n), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(ind, 1, ind, 0)
+    acd = indexing.filterind(ind, tar, bcd)
+    acd_p = indexing.pad_acd(acd, 128)
+    plan = build_chunk_plan(acd_p, 256, 256, 256, C=64, R=256, S=64)
+    out = np.asarray(fused_contract(X.values, A.values, plan,
+                                    interpret=True))
+    # only the 2 tuple rows may be nonzero
+    assert np.all(out[2:] == 0)
