@@ -63,7 +63,8 @@ def spmamm(
         av = av.reshape(av.shape[:1] + (1,) * extra + av.shape[1:])
         gathered = av * gathered
     fill = jnp.asarray(_FILL[aggr], gathered.dtype)
-    gathered = jnp.where(_expand_mask(valid, gathered.ndim), gathered, fill)
+    vmask = valid.reshape(valid.shape + (1,) * (gathered.ndim - valid.ndim))
+    gathered = jnp.where(vmask, gathered, fill)
 
     # flat (b * n) target; padded A entries have PAD_INDEX => dropped
     tar = jnp.where(A.rowmask, cb * n + jnp.minimum(taridx, n - 1),

@@ -283,6 +283,51 @@ class SparseTensor:
                          jnp.zeros((), vals.dtype))
         return tarX.tuplewiseapply(lambda _: vals)
 
+    # -- interop ------------------------------------------------------------
+    # (the TPU-native analog of the reference's torch sparse COO converters,
+    #  SpTensor.py:478-489)
+
+    @classmethod
+    def from_scipy(cls, mat, nnz_pad: Optional[int] = None) -> "SparseTensor":
+        """Build from a scipy sparse matrix (host-side)."""
+        coo = mat.tocoo()
+        ind = np.stack([coo.row, coo.col]).astype(np.int64)
+        return cls.from_numpy(ind, coo.data, mat.shape, nnz_pad=nnz_pad)
+
+    def to_scipy(self):
+        """Materialize as scipy COO (host-side; 2-dim, scalar values)."""
+        import scipy.sparse as ssp
+
+        assert self.sparse_dim == 2 and (self.values is None
+                                         or self.values.ndim == 1)
+        n = int(self.nnz)
+        ind = np.asarray(self.indices)[:, :n]
+        val = (np.ones(n) if self.values is None
+               else np.asarray(self.values)[:n])
+        return ssp.coo_matrix((val, (ind[0], ind[1])),
+                              shape=self.sparse_shape)
+
+    @classmethod
+    def from_bcoo(cls, mat, nnz_pad: Optional[int] = None) -> "SparseTensor":
+        """Build from a jax.experimental.sparse.BCOO (host-side coalesce)."""
+        ind = np.asarray(mat.indices).T.astype(np.int64)
+        return cls.from_numpy(ind, np.asarray(mat.data),
+                              mat.shape[: ind.shape[0]], nnz_pad=nnz_pad)
+
+    def to_bcoo(self):
+        """Convert to jax.experimental.sparse.BCOO (keeps padding rows as
+        explicit zeros at a clamped index; jit-safe)."""
+        from jax.experimental import sparse as jsparse
+
+        ind = jnp.minimum(self.indices, jnp.asarray(
+            [[s - 1] for s in self.sparse_shape], jnp.int32)).T
+        vals = self.values
+        if vals is None:
+            vals = jnp.ones((self.nnz_pad,), jnp.float32)
+        vals = jnp.where(_expand_mask(self.rowmask, vals.ndim), vals,
+                         jnp.zeros((), vals.dtype))
+        return jsparse.BCOO((vals, ind), shape=self.shape)
+
     # -- misc --------------------------------------------------------------
 
     def to_dense(self) -> jax.Array:

@@ -197,3 +197,54 @@ class SUNConv(nnx.Module):
         return _apply(Xc, self.lin1_1)
 
     forward = __call__
+
+
+class NGATConv(nnx.Module):
+    """Attention-based nested-subgraph conv (subgraph GAT).
+
+    The reference documents this pattern via spspmpnn's message_func
+    (docs/BasicOperators.md:75-83) and its reproduce.sh references an
+    example/NGAT.py that is absent from the snapshot; this is a concrete
+    implementation: per-channel attention scores, softmax-normalized over
+    each target tuple's in-neighborhood, sparse ("SS") mode.
+
+        alpha_{ij<-ik} = softmax_k( att1(X_ik) * attA(A_kj) * att2(X_ij) )
+        X'_ij          = sum_k alpha * att3(X_ik)
+    """
+
+    def __init__(self, indim: int, outdim: int, aggr: str = "sum",
+                 mode: str = "SS", mlp: dict = {}, optuplefeat: str = "X",
+                 opadj: str = "A", *, rngs: nnx.Rngs):
+        from . import sp_operator as SpOperator
+
+        assert mode == "SS", "NGATConv is sparse-only (spspmpnn path)"
+        self.att1 = nnx.Linear(indim, outdim, rngs=rngs)
+        self.attA = nnx.Linear(indim, outdim, rngs=rngs)
+        self.att2 = nnx.Linear(indim, outdim, rngs=rngs)
+        self.att3 = nnx.Linear(indim, outdim, rngs=rngs)
+        self.lin = MLP(indim, outdim, rngs=rngs, **mlp)
+        self.aggr_str = aggr
+        # registers the precompute key for parse_precomputekey; the actual
+        # dispatch happens via spspmpnn below (the message closure needs
+        # call-time statics)
+        self.keyop = SpOperator.OpMessagePassing(
+            optuplefeat, optuplefeat, 1, opadj, 0, aggr)
+
+    def __call__(self, A: SparseTensor, X: SparseTensor,
+                 datadict: Dict) -> SparseTensor:
+        from ..backend.segment import segment_softmax
+        from ..backend.spspmm import spspmpnn
+        from .sp_operator import KEYSEP
+
+        tX = _apply(X, self.lin)
+        nseg = tX.nnz_pad
+        acd = datadict[f"{self.keyop.precomputekey}{KEYSEP}acd"]
+
+        def message(av, bv, cv, seg):
+            score = self.att1(av) * self.attA(bv) * self.att2(cv)
+            alpha = segment_softmax(score, seg, nseg)
+            return alpha * self.att3(av)
+
+        return spspmpnn(tX, 1, A, 0, tX, acd, message, self.aggr_str)
+
+    forward = __call__

@@ -187,14 +187,20 @@ def _fused_kernel(C: int, R: int, S: int):
             .astype(u_ref.dtype)
         onehot_v = jnp.where(v_loc[:, None] == iota_R, 1.0, 0.0) \
             .astype(v_ref.dtype)
-        gu = jnp.dot(onehot_u, u_ref[:], preferred_element_type=jnp.float32)
-        gv = jnp.dot(onehot_v, v_ref[:], preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU otherwise truncates f32 operands to
+        # bf16, corrupting the gathered values (one-hot rows select exact
+        # input rows, so full precision must be preserved end to end)
+        gu = jnp.dot(onehot_u, u_ref[:], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        gv = jnp.dot(onehot_v, v_ref[:], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
         prod = gu * gv                                     # (C, D)
 
         iota_S = lax.broadcasted_iota(jnp.int32, (S, C), 0)
         onehot_t = jnp.where(t_loc[None, :] == iota_S, 1.0, 0.0) \
             .astype(prod.dtype)
-        acc = jnp.dot(onehot_t, prod, preferred_element_type=jnp.float32)
+        acc = jnp.dot(onehot_t, prod, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
 
         first = jnp.logical_or(
             i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])

@@ -109,21 +109,26 @@ def _sp_convdict(rngs, aggr, cpool, mlp):
             d, d, aggr, cpool, "SS", mlp, mlp, rngs=rngs),
         "PPGN": lambda d: Conv.PPGNConv(d, d, aggr, "SS", mlp, rngs=rngs),
         "I2GNN": lambda d: Conv.I2Conv(d, d, aggr, "SS", mlp, rngs=rngs),
+        "NGAT": lambda d: Conv.NGATConv(d, d, aggr, "SS", mlp, rngs=rngs),
     }
 
 
-def _ma_convdict(rngs, aggr, cpool, mlp):
-    """Dense conv factories (reference example/zinc.py:133-152)."""
+def _ma_convdict(rngs, aggr, cpool, mlp, mode="DD"):
+    """Dense conv factories (reference example/zinc.py:133-152).  mode
+    "DD" = dense adjacency (einsum path, sum aggr); "SD" = sparse batched
+    adjacency with dense tuples (spmamm path, any aggr)."""
+    a = aggr if mode == "SD" else "sum"
     return {
-        "NGNN": lambda d: Conv.NGNNConv(d, d, "sum", "DD", mlp, rngs=rngs),
-        "SSWL": lambda d: Conv.SSWLConv(d, d, "sum", "DD", mlp, rngs=rngs),
+        "NGNN": lambda d: Conv.NGNNConv(d, d, a, mode, mlp, rngs=rngs),
+        "SSWL": lambda d: Conv.SSWLConv(d, d, a, mode, mlp, rngs=rngs),
         "DSSGNN": lambda d: Conv.DSSGNNConv(
-            d, d, "sum", "sum", cpool, "DD", mlp, rngs=rngs),
+            d, d, a, a, cpool, mode, mlp, rngs=rngs),
         "GNNAK": lambda d: Conv.GNNAKConv(
-            d, d, "sum", cpool, "DD", mlp, mlp, rngs=rngs),
+            d, d, a, cpool, mode, mlp, mlp, rngs=rngs),
         "SUN": lambda d: Conv.SUNConv(
-            d, d, "sum", cpool, "DD", mlp, mlp, rngs=rngs),
-        "PPGN": lambda d: Conv.PPGNConv(d, d, "sum", "DD", mlp, rngs=rngs),
+            d, d, a, cpool, mode, mlp, mlp, rngs=rngs),
+        "PPGN": lambda d: Conv.PPGNConv(d, d, a, "DD", mlp, rngs=rngs),
+        "I2GNN": lambda d: Conv.I2Conv(d, d, a, mode, mlp, rngs=rngs),
     }
 
 
@@ -211,13 +216,14 @@ class MaModel(nnx.Module):
     """Masked-dense HOGNN (reference example/zinc.py:155-222)."""
 
     def __init__(self, conv: str = "NGNN", num_tasks: int = 1,
-                 num_layer: int = 6, hiddim: int = 128,
+                 num_layer: int = 6, hiddim: int = 128, aggr: str = "sum",
                  npool: str = "mean", lpool: str = "max",
                  cpool: str = "mean", residual: bool = True,
                  outlayer: int = 2, mlp: Optional[dict] = None,
-                 *, rngs: nnx.Rngs):
+                 mode: str = "DD", *, rngs: nnx.Rngs):
         from ..honn import ma_operator as MaOperator
 
+        assert mode in ("DD", "SD")
         mlp = dict(mlp or {})
         mlp.setdefault("numlayer", 1)
         mlp.setdefault("tailact", True)
@@ -226,7 +232,7 @@ class MaModel(nnx.Module):
 
         self.lin_tupleinit0 = nnx.Linear(hiddim, hiddim, rngs=rngs)
         self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, rngs=rngs)
-        factory = _ma_convdict(rngs, "sum", cpool, mlp)[conv]
+        factory = _ma_convdict(rngs, aggr, cpool, mlp, mode)[conv]
         self.subggnns = nnx.List([factory(hiddim) for _ in range(num_layer)])
         self.npool_op = MaOperator.OpPooling(1, pool=npool)
         self.lpool_op = TensorOp.OpPoolingSubg2D("D", lpool)
