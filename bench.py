@@ -116,6 +116,45 @@ def main():
         f"G rows/s (roofline {roofline_rows / 1e9:.3f}; rtt "
         f"{base_rtt * 1e3:.0f} ms)")
 
+    # ---- dense DD path: the MXU einsum route on the same workload -------
+    from pygho_tpu.hodata import Mapretransform, collate_dense
+    from pygho_tpu.hodata.ma_data import batch_to_dense_dict
+    from pygho_tpu.hodata.ma_sampler import spdsampler
+    from pygho_tpu.backend.mamamm import mamamm
+
+    madatas = [Mapretransform(partial(spdsampler, hop=3), [""])(g)
+               for g in graphs]
+    mbatch = collate_dense(madatas, [""], num_graphs=128)
+    mbatch = {k: jax.device_put(np.asarray(v)) for k, v in mbatch.items()}
+    Bsz, n_pad = mbatch["x"].shape[0], mbatch["x"].shape[1]
+
+    @jax.jit
+    def dd_loop(mbatch, vals):
+        dd = batch_to_dense_dict(mbatch)
+        Xm = dd["X"]
+        from pygho_tpu.backend.matensor import MaskedTensor
+        A = MaskedTensor(jnp.ones(Xm.mask.shape + (D,), jnp.float32),
+                         dd["A"].mask)
+
+        def body(i, v):
+            X = MaskedTensor(v, Xm.mask)
+            return mamamm(X, 2, A, 1, Xm.mask).data
+
+        return jax.lax.fori_loop(0, N_ITER, body, vals)
+
+    mvals = jax.device_put(np.random.default_rng(0).normal(
+        size=(Bsz, n_pad, n_pad, D)).astype(np.float32))
+    float(jnp.sum(dd_loop(mbatch, mvals)))
+    base_rtt2 = min(rtt(), rtt())
+    t0 = time.perf_counter()
+    float(jnp.sum(dd_loop(mbatch, mvals)))
+    dt_dd = (time.perf_counter() - t0 - base_rtt2) / N_ITER
+    # equivalent useful tuple-edges: the same acd_rows of the sparse batch
+    dd_rows_per_s = acd_rows / dt_dd
+    log(f"dense DD (einsum b,n,n,d): {dt_dd * 1e3:.3f} ms/iter -> "
+        f"{dd_rows_per_s / 1e9:.3f} G equiv rows/s "
+        f"(padded dense FLOPs {2 * Bsz * n_pad**3 * D / 1e9:.1f} GFLOP)")
+
     # ---- full train step (python-dispatched; state chains the steps) ----
     opt = make_optimizer(model, 1e-3)
     train_step, _ = make_sparse_steps()
@@ -139,6 +178,8 @@ def main():
         "vs_baseline": rows_per_s / roofline_rows,
         "extra": {
             "spmm_ms": dt * 1e3,
+            "dense_dd_ms": dt_dd * 1e3,
+            "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "train_step_ms": step_dt * 1e3,
             "train_rows_per_s": step_rows,
             "acd_rows": acd_rows,

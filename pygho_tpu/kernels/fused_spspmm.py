@@ -6,20 +6,22 @@ The computation is the spspmm hot loop (reference backend/Spspmm.py:307-321):
 
 XLA executes this as two materialized gathers + a scatter-add (3+ HBM
 round trips over the (K, D) intermediate).  The fused kernel streams
-VMEM-resident blocks instead:
+VMEM-resident operand windows instead:
 
-- The host packs the triple array into *chunks* of C triples such that
-  each chunk's u-indices fall inside one aligned R-row window of U, its
-  v-indices inside one R-row window of V, and its t-indices inside one
-  aligned S-row window of the output (build_chunk_plan).  For
-  block-diagonal graph batches this locality always exists: a chunk's
-  triples belong to one or two graphs whose rows are contiguous.
-- Each grid step DMAs those three blocks (Pallas pipelines them), forms
-  the gathers as one-hot matmuls on the MXU (a (C, R) 0/1 matrix times
-  the (R, D) block), multiplies, and segment-reduces with a second
-  one-hot matmul onto the (S, D) output block.  Consecutive chunks
-  mapping to the same output block accumulate in VMEM (revisit pattern);
-  the block is spilled to HBM exactly once.
+- The host packs the triple array into *chunks* of up to C triples whose
+  u-indices span < R rows of U and v-indices span < R rows of V
+  (build_chunk_plan; dynamic window bases, so block-diagonal graph
+  batches chunk at full C regardless of where graph boundaries fall).
+  t-indices stay inside one aligned S window of the output.
+- Each grid step double-buffer-DMAs the two (R, D) windows from HBM at
+  the chunk's dynamic row offsets (scalar-prefetched bases), forms the
+  gathers as one-hot matmuls on the MXU, multiplies, and segment-reduces
+  with a second one-hot matmul onto the (S, D) output block.
+  Consecutive chunks mapping to the same output block accumulate in VMEM
+  (revisit pattern); each block spills to HBM once.
+- Math modes: ``exact`` decomposes f32 values into bf16 hi+lo pairs (two
+  MXU passes, f32-exact results — the MXU would otherwise truncate f32
+  operands); ``fast`` runs one bf16 pass (training-grade precision).
 
 The backward pass reuses the same kernel with role-permuted triples
 (dU[u] += g[t] * V[v] and dV[v] += U[u] * g[t]) whose plans are also
@@ -41,24 +43,25 @@ import jax.numpy as jnp
 from ..backend.indexing import PAD_INDEX
 
 # chunk geometry defaults: C triples per chunk, R-row operand windows,
-# S-row output windows.  R/S must be multiples of 8 (f32 sublane), and
-# lane dim D is the feature dim (>= 128 ideal).
+# S-row output windows.
 DEFAULT_C = 512
-DEFAULT_R = 1024
+DEFAULT_R = 512
 DEFAULT_S = 512
 
 
 @dataclasses.dataclass(frozen=True)
 class ChunkPlan:
     """Host-built execution plan for one fused contraction."""
-    tuv_local: jax.Array   # i32[n_chunks, 3, C] block-local (t, u, v)
-    ublk: jax.Array        # i32[n_chunks] U block index per chunk
-    vblk: jax.Array        # i32[n_chunks] V block index per chunk
-    oblk: jax.Array        # i32[n_chunks] output block index per chunk
+    tuv_local: jax.Array   # i32[n_chunks, 3, C] window-local (t, u, v)
+    ubase: jax.Array       # i32[n_chunks] U window start row (element units)
+    vbase: jax.Array       # i32[n_chunks] V window start row
+    oblk: jax.Array        # i32[n_chunks] output block index (S units)
     C: int
     R: int
     S: int
     out_rows: int          # padded output rows (multiple of S)
+    u_rows: int            # required padded U rows (window clamp bound)
+    v_rows: int
 
     @property
     def n_chunks(self) -> int:
@@ -67,8 +70,8 @@ class ChunkPlan:
 
 jax.tree_util.register_dataclass(
     ChunkPlan,
-    data_fields=["tuv_local", "ublk", "vblk", "oblk"],
-    meta_fields=["C", "R", "S", "out_rows"],
+    data_fields=["tuv_local", "ubase", "vbase", "oblk"],
+    meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows"],
 )
 
 
@@ -82,28 +85,30 @@ def build_chunk_plan(
     S: int = DEFAULT_S,
     pad_chunks_to: Optional[int] = None,
 ) -> ChunkPlan:
-    """Greedy chunker: walk the (3, K) triple array (sorted by t; padded
-    PAD_INDEX rows allowed at the end and dropped) and cut chunks of at
-    most C triples whose u / v indices fit in one aligned R window and
-    whose t indices fit in one aligned S window.
+    """Greedy chunker with dynamic operand windows: walk the (3, K)
+    triple array (sorted by t; PAD_INDEX rows at the end are dropped) and
+    cut chunks of at most C triples whose u / v index *ranges* stay below
+    R and whose t indices stay inside one aligned S window.
 
-    Also inserts zero-work chunks for output blocks no triple touches, so
-    every output row is written (empty segments must be 0, matching the
-    scatter semantics)."""
+    Inserts zero-work chunks for untouched output blocks (empty segments
+    must come out 0) and optionally pads the chunk count to a stable
+    size."""
     tuv = np.asarray(tuv)
     t, u, v = tuv[0], tuv[1], tuv[2]
-    K = int(np.sum(t < PAD_INDEX))  # real triples
-    t, u, v = t[:K].astype(np.int64), u[:K].astype(np.int64), \
-        v[:K].astype(np.int64)
+    K = int(np.sum(t < PAD_INDEX))
+    t = t[:K].astype(np.int64)
+    u = u[:K].astype(np.int64)
+    v = v[:K].astype(np.int64)
     assert out_rows % S == 0, "out_rows must be a multiple of S"
+    assert u_rows >= R and v_rows >= R, "operand rows must be >= R"
     assert np.all(np.diff(t) >= 0), "triples must be sorted by t"
 
     from .. import native as _native
 
-    chunks = []  # (start, end, ublk, vblk, oblk)
     host = _native.get()
-    if host is not None and K > 0:
-        starts, ends, ubs, vbs, obs = host.chunk_bounds(
+    chunks = []  # (start, end, ubase, vbase, oblk)
+    if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn"):
+        starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn(
             np.ascontiguousarray(t), np.ascontiguousarray(u),
             np.ascontiguousarray(v), C, R, S)
         chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
@@ -112,34 +117,37 @@ def build_chunk_plan(
         start = 0
         while start < K:
             end_max = min(start + C, K)
-            ub = u[start] // R
-            vb = v[start] // R
-            ob = t[start] // S
             sl = slice(start, end_max)
-            ok = ((u[sl] // R == ub) & (v[sl] // R == vb)
-                  & (t[sl] // S == ob))
+            umin = np.minimum.accumulate(u[sl])
+            umax = np.maximum.accumulate(u[sl])
+            vmin = np.minimum.accumulate(v[sl])
+            vmax = np.maximum.accumulate(v[sl])
+            ok = ((umax - umin < R) & (vmax - vmin < R)
+                  & (t[sl] // S == t[start] // S))
             bad = np.nonzero(~ok)[0]
             end = start + (int(bad[0]) if len(bad) else (end_max - start))
             assert end > start
-            chunks.append((start, end, int(ub), int(vb), int(ob)))
+            chunks.append((start, end,
+                           int(u[start:end].min()), int(v[start:end].min()),
+                           int(t[start] // S)))
             start = end
+    # clamp window bases so base + R <= rows
+    chunks = [(s0, e0, min(ub, u_rows - R), min(vb, v_rows - R), ob)
+              for (s0, e0, ub, vb, ob) in chunks]
 
-    # insert empty chunks for untouched output blocks
+    # insert zero-work chunks for untouched output blocks, in oblk order
     touched = set(c[4] for c in chunks)
     n_oblk = out_rows // S
     all_chunks = []
     ci = 0
     for ob in range(n_oblk):
-        # emit chunks for this block in order
         while ci < len(chunks) and chunks[ci][4] == ob:
             all_chunks.append(chunks[ci])
             ci += 1
         if ob not in touched:
-            all_chunks.append((0, 0, 0, 0, ob))  # zero-work chunk
+            all_chunks.append((0, 0, 0, 0, ob))
     assert ci == len(chunks)
 
-    # pad the chunk count to a stable size (zero-work chunks re-visiting
-    # the last output block) so jit shapes don't depend on the batch
     if pad_chunks_to is not None:
         assert pad_chunks_to >= len(all_chunks), (pad_chunks_to,
                                                   len(all_chunks))
@@ -149,22 +157,21 @@ def build_chunk_plan(
 
     n = len(all_chunks)
     tuv_local = np.zeros((n, 3, C), dtype=np.int32)
-    tuv_local[:, 0, :] = S  # t sentinel => one-hot row all-zero
-    ublk = np.zeros((n,), np.int32)
-    vblk = np.zeros((n,), np.int32)
+    tuv_local[:, 0, :] = S  # t sentinel: one-hot row all-zero => dropped
+    ubase = np.zeros((n,), np.int32)
+    vbase = np.zeros((n,), np.int32)
     oblk = np.zeros((n,), np.int32)
     for i, (s0, e0, ub, vb, ob) in enumerate(all_chunks):
         m = e0 - s0
         if m > 0:
             tuv_local[i, 0, :m] = t[s0:e0] - ob * S
-            tuv_local[i, 1, :m] = u[s0:e0] - ub * R
-            tuv_local[i, 2, :m] = v[s0:e0] - vb * R
-        ublk[i], vblk[i], oblk[i] = ub, vb, ob
-    # padded entries: u/v local 0 (harmless gather), t = S (dropped)
+            tuv_local[i, 1, :m] = u[s0:e0] - ub
+            tuv_local[i, 2, :m] = v[s0:e0] - vb
+        ubase[i], vbase[i], oblk[i] = ub, vb, ob
     return ChunkPlan(
-        tuv_local=jnp.asarray(tuv_local), ublk=jnp.asarray(ublk),
-        vblk=jnp.asarray(vblk), oblk=jnp.asarray(oblk),
-        C=C, R=R, S=S, out_rows=out_rows)
+        tuv_local=jnp.asarray(tuv_local), ubase=jnp.asarray(ubase),
+        vbase=jnp.asarray(vbase), oblk=jnp.asarray(oblk),
+        C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -172,73 +179,116 @@ def build_chunk_plan(
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(C: int, R: int, S: int):
-    def kernel(ublk_ref, vblk_ref, oblk_ref, tuv_ref, u_ref, v_ref, o_ref):
-        import jax.lax as lax
-        from jax.experimental import pallas as pl
+def _split3(x):
+    """Three-term bf16 decomposition: x ~= hi + mid + lo to ~2^-24
+    relative — f32-accurate through bf16 MXU passes."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
+
+def _fused_kernel(C: int, R: int, S: int, exact: bool):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, u_hbm, v_hbm,
+               o_ref, ubuf, vbuf, sems):
         i = pl.program_id(0)
-        t_loc = tuv_ref[0, 0, :]   # (C,)
+        n = pl.num_programs(0)
+
+        def dmas(slot, chunk):
+            cu = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(ubase_ref[chunk], R)], ubuf.at[slot],
+                sems.at[slot, 0])
+            cv = pltpu.make_async_copy(
+                v_hbm.at[pl.ds(vbase_ref[chunk], R)], vbuf.at[slot],
+                sems.at[slot, 1])
+            return cu, cv
+
+        @pl.when(i == 0)
+        def _():
+            cu, cv = dmas(0, 0)
+            cu.start()
+            cv.start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            cu, cv = dmas((i + 1) % 2, i + 1)
+            cu.start()
+            cv.start()
+
+        cu, cv = dmas(i % 2, i)
+        cu.wait()
+        cv.wait()
+
+        slot = i % 2
+        t_loc = tuv_ref[0, 0, :]
         u_loc = tuv_ref[0, 1, :]
         v_loc = tuv_ref[0, 2, :]
 
         iota_R = lax.broadcasted_iota(jnp.int32, (C, R), 1)
-        onehot_u = jnp.where(u_loc[:, None] == iota_R, 1.0, 0.0) \
-            .astype(u_ref.dtype)
-        onehot_v = jnp.where(v_loc[:, None] == iota_R, 1.0, 0.0) \
-            .astype(v_ref.dtype)
-        # HIGHEST precision: the MXU otherwise truncates f32 operands to
-        # bf16, corrupting the gathered values (one-hot rows select exact
-        # input rows, so full precision must be preserved end to end)
-        gu = jnp.dot(onehot_u, u_ref[:], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-        gv = jnp.dot(onehot_v, v_ref[:], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-        prod = gu * gv                                     # (C, D)
+        onehot_u = jnp.where(u_loc[:, None] == iota_R,
+                             1.0, 0.0).astype(jnp.bfloat16)
+        onehot_v = jnp.where(v_loc[:, None] == iota_R,
+                             1.0, 0.0).astype(jnp.bfloat16)
+
+        uw = ubuf[slot]
+        vw = vbuf[slot]
+
+        def gathered(onehot, w):
+            if exact:
+                return sum(jnp.dot(onehot, part,
+                                   preferred_element_type=jnp.float32)
+                           for part in _split3(w))
+            return jnp.dot(onehot, w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+        prod = gathered(onehot_u, uw) * gathered(onehot_v, vw)  # (C, D) f32
 
         iota_S = lax.broadcasted_iota(jnp.int32, (S, C), 0)
-        onehot_t = jnp.where(t_loc[None, :] == iota_S, 1.0, 0.0) \
-            .astype(prod.dtype)
-        acc = jnp.dot(onehot_t, prod, preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST)
+        onehot_t = jnp.where(t_loc[None, :] == iota_S,
+                             1.0, 0.0).astype(jnp.bfloat16)
+        if exact:
+            acc = sum(jnp.dot(onehot_t, part,
+                              preferred_element_type=jnp.float32)
+                      for part in _split3(prod))
+        else:
+            acc = jnp.dot(onehot_t, prod.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
 
         first = jnp.logical_or(
             i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
 
-        from jax.experimental import pallas as pl
-
         @pl.when(first)
         def _():
-            o_ref[:] = acc.astype(o_ref.dtype)
+            o_ref[:] = acc
 
         @pl.when(jnp.logical_not(first))
         def _():
-            o_ref[:] = o_ref[:] + acc.astype(o_ref.dtype)
+            o_ref[:] = o_ref[:] + acc
 
     return kernel
 
 
-def _auto_interpret(interpret):
-    if interpret is None:
-        # Pallas TPU kernels only compile on TPU; interpret elsewhere
-        return jax.default_backend() != "tpu"
-    return interpret
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
-                   interpret: Optional[bool] = None) -> jax.Array:
-    """Execute out[t] += U[u] * V[v] per ``plan``.  U, V: (rows, D) with
-    rows a multiple of plan.R (pad on host).  Returns (plan.out_rows, D).
-    """
-    interpret = _auto_interpret(interpret)
+                   interpret: Optional[bool] = None,
+                   exact: bool = True) -> jax.Array:
+    """Execute out[t] += U[u] * V[v] per ``plan``.  U: (plan.u_rows, D),
+    V: (plan.v_rows, D) — pad with _pad_rows.  Returns
+    (plan.out_rows, D) f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     C, R, S = plan.C, plan.R, plan.S
     D = U.shape[-1]
-    assert U.shape[0] % R == 0 and V.shape[0] % R == 0, (
-        "operand rows must be padded to a multiple of R")
+    assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
+        "operands must be padded to the plan's row counts")
     n_chunks = plan.n_chunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -246,14 +296,20 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 3, C), lambda i, ub, vb, ob: (i, 0, 0)),
-            pl.BlockSpec((R, D), lambda i, ub, vb, ob: (ub[i], 0)),
-            pl.BlockSpec((R, D), lambda i, ub, vb, ob: (vb[i], 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((S, D), lambda i, ub, vb, ob: (ob[i], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, D), U.dtype),
+            pltpu.VMEM((2, R, D), V.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
-    flops = 2 * n_chunks * (2 * C * R * D + S * C * D)
+    passes = 3 if exact else 1
+    flops = 2 * n_chunks * passes * (2 * C * R * D + S * C * D)
     out = pl.pallas_call(
-        _fused_kernel(C, R, S),
+        _fused_kernel(C, R, S, exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -261,7 +317,7 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
             bytes_accessed=n_chunks * (2 * R + S) * D * 4,
             transcendentals=0),
         interpret=interpret,
-    )(plan.ublk, plan.vblk, plan.oblk, plan.tuv_local, U, V)
+    )(plan.ubase, plan.vbase, plan.oblk, plan.tuv_local, U, V)
     return out
 
 
@@ -280,15 +336,12 @@ def build_spspmm_plans(
     S: int = DEFAULT_S,
     pad_chunks_to: Optional[int] = None,
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
-    """Build (forward, dX, dA) plans from the padded acd triples
+    """Build (forward, dX, dA) plans from padded acd triples
     (a = output tuple, c = X row, d = A row; sorted by a).
 
     - forward: out[a] += X[c] * A[d]          triples (a, c, d)
     - dX:      dX[c] += g[a] * A[d]           triples (c, a, d) sorted by c
     - dA:      dA[d] += X[c] * g[a]           triples (d, c, a) sorted by d
-
-    x_rows / a_rows / out_rows are the padded row counts (multiples of R
-    resp. S are enforced by rounding up — callers pad values accordingly).
     """
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
@@ -296,7 +349,7 @@ def build_spspmm_plans(
     a, c, d = a[real], c[real], d[real]
 
     def rup(n, m):
-        return ((n + m - 1) // m) * m
+        return max(((n + m - 1) // m) * m, m)
 
     fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, R),
                            rup(a_rows, R), rup(out_rows, S), C, R, S,
@@ -315,24 +368,25 @@ def build_spspmm_plans(
 def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
     if x.shape[0] == rows:
         return x
-    assert rows > x.shape[0]
+    assert rows > x.shape[0], (x.shape, rows)
     pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_spspmm(Xv: jax.Array, Av: jax.Array, fwd: ChunkPlan,
                  dxp: ChunkPlan, dap: ChunkPlan,
-                 interpret: Optional[bool] = None) -> jax.Array:
+                 interpret: Optional[bool] = None,
+                 exact: bool = True) -> jax.Array:
     """Differentiable fused spspmm: out[a] = sum_cd X[c] * A[d].
 
     Returns (fwd.out_rows, D); callers slice back to their padded nnz.
     Sum aggregation only (the only aggr with a matching linear transpose;
     max/mean stay on the XLA path).  The plans are pytrees of int arrays;
     their cotangents are symbolic float0 zeros."""
-    Xp = _pad_rows(Xv, ((Xv.shape[0] + fwd.R - 1) // fwd.R) * fwd.R)
-    Ap = _pad_rows(Av, ((Av.shape[0] + fwd.R - 1) // fwd.R) * fwd.R)
-    return fused_contract(Xp, Ap, fwd, interpret=interpret)
+    return fused_contract(_pad_rows(Xv, fwd.u_rows),
+                          _pad_rows(Av, fwd.v_rows), fwd,
+                          interpret=interpret, exact=exact)
 
 
 def _plan_zeros(plan: ChunkPlan):
@@ -340,19 +394,19 @@ def _plan_zeros(plan: ChunkPlan):
         lambda x: np.zeros(x.shape, jax.dtypes.float0), plan)
 
 
-def _fwd_rule(Xv, Av, fwd, dxp, dap, interpret):
-    out = fused_spspmm(Xv, Av, fwd, dxp, dap, interpret)
+def _fwd_rule(Xv, Av, fwd, dxp, dap, interpret, exact):
+    out = fused_spspmm(Xv, Av, fwd, dxp, dap, interpret, exact)
     return out, (Xv, Av, fwd, dxp, dap)
 
 
-def _bwd_rule(interpret, res, g):
+def _bwd_rule(interpret, exact, res, g):
     Xv, Av, fwd, dxp, dap = res
-    R = dxp.R
-    gp = _pad_rows(g, ((g.shape[0] + R - 1) // R) * R)
-    Ap = _pad_rows(Av, ((Av.shape[0] + R - 1) // R) * R)
-    Xp = _pad_rows(Xv, ((Xv.shape[0] + R - 1) // R) * R)
-    dX = fused_contract(gp, Ap, dxp, interpret=interpret)[: Xv.shape[0]]
-    dA = fused_contract(Xp, gp, dap, interpret=interpret)[: Av.shape[0]]
+    dX = fused_contract(_pad_rows(g, dxp.u_rows),
+                        _pad_rows(Av, dxp.v_rows), dxp,
+                        interpret=interpret, exact=exact)[: Xv.shape[0]]
+    dA = fused_contract(_pad_rows(Xv, dap.u_rows),
+                        _pad_rows(g, dap.v_rows), dap,
+                        interpret=interpret, exact=exact)[: Av.shape[0]]
     return dX, dA, _plan_zeros(fwd), _plan_zeros(dxp), _plan_zeros(dap)
 
 

@@ -109,9 +109,68 @@ static PyObject *spspmm_join(PyObject *self, PyObject *args) {
   return out;
 }
 
+// chunk_bounds_dyn(t, u, v, C, R, S): dynamic-window variant — chunks cut
+// when the running u/v RANGE reaches R (window base = running min, no
+// alignment), or t leaves its aligned S window, or C rows are taken.
+static PyObject *chunk_bounds_dyn(PyObject *self, PyObject *args) {
+  PyArrayObject *t_arr, *u_arr, *v_arr;
+  long C, R, S;
+  if (!PyArg_ParseTuple(args, "O!O!O!lll", &PyArray_Type, &t_arr,
+                        &PyArray_Type, &u_arr, &PyArray_Type, &v_arr, &C, &R,
+                        &S))
+    return nullptr;
+  if (PyArray_TYPE(t_arr) != NPY_INT64 || PyArray_TYPE(u_arr) != NPY_INT64 ||
+      PyArray_TYPE(v_arr) != NPY_INT64) {
+    PyErr_SetString(PyExc_TypeError, "expected int64 arrays");
+    return nullptr;
+  }
+  npy_intp K = PyArray_DIM(t_arr, 0);
+  const int64_t *t = (const int64_t *)PyArray_DATA(t_arr);
+  const int64_t *u = (const int64_t *)PyArray_DATA(u_arr);
+  const int64_t *v = (const int64_t *)PyArray_DATA(v_arr);
+
+  std::vector<int64_t> starts, ends, ub_v, vb_v, ob_v;
+  npy_intp start = 0;
+  while (start < K) {
+    int64_t ob = t[start] / S;
+    int64_t umin = u[start], umax = u[start];
+    int64_t vmin = v[start], vmax = v[start];
+    npy_intp end = start;
+    npy_intp end_max = start + C < K ? start + C : K;
+    while (end < end_max) {
+      int64_t numin = u[end] < umin ? u[end] : umin;
+      int64_t numax = u[end] > umax ? u[end] : umax;
+      int64_t nvmin = v[end] < vmin ? v[end] : vmin;
+      int64_t nvmax = v[end] > vmax ? v[end] : vmax;
+      if (numax - numin >= R || nvmax - nvmin >= R || t[end] / S != ob) break;
+      umin = numin; umax = numax; vmin = nvmin; vmax = nvmax;
+      ++end;
+    }
+    if (end == start) ++end;  // always make progress (can't happen: row 0 fits)
+    starts.push_back(start);
+    ends.push_back(end);
+    ub_v.push_back(umin);
+    vb_v.push_back(vmin);
+    ob_v.push_back(ob);
+    start = end;
+  }
+
+  npy_intp n = (npy_intp)starts.size();
+  PyObject *out = PyTuple_New(5);
+  const std::vector<int64_t> *vecs[5] = {&starts, &ends, &ub_v, &vb_v, &ob_v};
+  for (int i = 0; i < 5; i++) {
+    PyArrayObject *a = (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT64);
+    memcpy(PyArray_DATA(a), vecs[i]->data(), n * sizeof(int64_t));
+    PyTuple_SET_ITEM(out, i, (PyObject *)a);
+  }
+  return out;
+}
+
 static PyMethodDef Methods[] = {
     {"chunk_bounds", chunk_bounds, METH_VARARGS,
-     "greedy chunk boundary walk for the fused kernel planner"},
+     "greedy chunk boundary walk for the fused kernel planner (aligned)"},
+    {"chunk_bounds_dyn", chunk_bounds_dyn, METH_VARARGS,
+     "greedy chunk boundary walk with dynamic operand windows"},
     {"spspmm_join", spspmm_join, METH_VARARGS,
      "expand sorted interval matches into (c, d) pair arrays"},
     {nullptr, nullptr, 0, nullptr}};

@@ -1,0 +1,66 @@
+"""Aux subsystem tests: config, metrics, checkpoint, debugging."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from pygho_tpu.utils import (ExperimentConfig, ModelConfig, TrainConfig,
+                             MetricsLogger, save_checkpoint,
+                             restore_checkpoint, nan_guard,
+                             check_determinism)
+from pygho_tpu.models import make_sp_model
+from pygho_tpu.models.training import make_optimizer
+
+
+def test_config_roundtrip():
+    cfg = ExperimentConfig(model=ModelConfig(conv="PPGN", norm="ln"),
+                           train=TrainConfig(lr=5e-4, K=1.0))
+    c2 = ExperimentConfig.from_json(cfg.to_json())
+    assert c2.model.conv == "PPGN"
+    assert c2.model.mlp_dict()["norm"] == "ln"
+    assert c2.train.K == 1.0
+
+
+def test_metrics_jsonl(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    ml = MetricsLogger(p, echo=False)
+    ml.log_epoch(3, 1.0, 0.5, 0.2, 0.9, 0.8, 0.7, lr=1e-3)
+    ml.log({"type": "custom", "x": 1})
+    ml.close()
+    recs = [json.loads(l) for l in open(p)]
+    assert recs[0]["epoch"] == 3 and recs[0]["lr"] == 1e-3
+    assert recs[1]["type"] == "custom"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m1 = make_sp_model("NGNN", num_layer=1, hiddim=8, seed=1,
+                       mlp={"norm": "none"})
+    o1 = make_optimizer(m1, 1e-3)
+    save_checkpoint(str(tmp_path), m1, o1, step=3)
+    m2 = make_sp_model("NGNN", num_layer=1, hiddim=8, seed=2,
+                       mlp={"norm": "none"})
+    o2 = make_optimizer(m2, 1e-3)
+    step = restore_checkpoint(str(tmp_path), m2, o2)
+    assert step == 3
+    p1 = jax.tree.leaves(nnx.state(m1, nnx.Param))
+    p2 = jax.tree.leaves(nnx.state(m2, nnx.Param))
+    for a, b in zip(p1, p2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard():
+    g = nan_guard(lambda x: jnp.log(x), "log")
+    err, _ = jax.jit(g)(jnp.asarray([1.0]))
+    assert err.get() is None
+    err, _ = jax.jit(g)(jnp.asarray([-1.0]))
+    assert err.get() is not None
+
+
+def test_check_determinism():
+    assert check_determinism(jax.jit(lambda x: (x @ x).sum()),
+                             jnp.ones((16, 16)))
