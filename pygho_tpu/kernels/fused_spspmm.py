@@ -45,7 +45,7 @@ from ..backend.indexing import PAD_INDEX
 # chunk geometry defaults: C triples per chunk, R-row operand windows,
 # S-row output windows.
 DEFAULT_C = 512
-DEFAULT_R = 512
+DEFAULT_R = 320
 DEFAULT_S = 512
 
 

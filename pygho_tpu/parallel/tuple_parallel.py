@@ -105,3 +105,137 @@ def make_tuple_parallel_spspmm(mesh: Mesh, aggr: str = "sum",
                             sparse_shape=X.sparse_shape)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# v2: partitioned values + host-planned boundary exchange
+# ---------------------------------------------------------------------------
+
+
+import dataclasses
+
+import numpy as np
+
+from ..backend.indexing import PAD_INDEX
+
+
+@dataclasses.dataclass(frozen=True)
+class TupleShardPlan:
+    """Host-built plan for the partitioned tuple-parallel contraction.
+
+    X values are partitioned into P contiguous row blocks of size B; each
+    device owns the output rows of its block.  The acd triples are
+    slab-partitioned by output owner.  Cross-block gathers are resolved
+    through a boundary pool: each device contributes the rows other
+    devices need (``send_idx``), one all_gather shares the pools, and
+    ``acd_local``'s c-indices are pre-remapped into
+    [own block | gathered pools].  Communication volume is the boundary
+    size, not the full tuple tensor — the graph-world analog of ring
+    attention's neighbor exchange (SURVEY.md §5)."""
+
+    acd_local: jax.Array   # i32[P, Kp, 3] (a_local, c_remapped, d)
+    send_idx: jax.Array    # i32[P, Bnd] block-local rows for the pool
+    P: int
+    B: int                 # rows per block
+    Bnd: int               # boundary pool rows per device
+
+
+jax.tree_util.register_dataclass(
+    TupleShardPlan, data_fields=["acd_local", "send_idx"],
+    meta_fields=["P", "B", "Bnd"])
+
+
+def build_tuple_shard_plan(acd: np.ndarray, nnz_pad: int,
+                           P: int) -> TupleShardPlan:
+    """Partition padded acd triples (sorted by a) across P devices."""
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a, c, d = (acd[0][real].astype(np.int64), acd[1][real].astype(np.int64),
+               acd[2][real].astype(np.int64))
+    assert nnz_pad % P == 0, "nnz_pad must divide by the axis size"
+    B = nnz_pad // P
+    owner = np.minimum(a // B, P - 1)
+
+    # per-device triple slabs
+    slabs = [np.nonzero(owner == p)[0] for p in range(P)]
+    Kp = max((len(s) for s in slabs), default=1)
+    Kp = max(Kp, 1)
+
+    # boundary rows: for each source block q, the union of rows devices
+    # other than q read from q
+    bnd_sets = [set() for _ in range(P)]
+    for p in range(P):
+        cs = c[slabs[p]]
+        remote = cs[(cs < p * B) | (cs >= (p + 1) * B)]
+        for q in np.unique(remote // B):
+            q = int(min(q, P - 1))
+            rows = remote[(remote // B) == q]
+            bnd_sets[q].update((rows - q * B).tolist())
+    bnd_lists = [sorted(s) for s in bnd_sets]
+    Bnd = max(max((len(b) for b in bnd_lists), default=1), 1)
+
+    send_idx = np.zeros((P, Bnd), np.int32)
+    lookup = {}  # (q, block-local row) -> pool position
+    for q, rows in enumerate(bnd_lists):
+        for pos, r in enumerate(rows):
+            send_idx[q, pos] = r
+            lookup[(q, r)] = q * Bnd + pos
+
+    acd_local = np.zeros((P, 3, Kp), np.int32)
+    acd_local[:, 0, :] = PAD_INDEX  # dropped by the scatter
+    for p in range(P):
+        idx = slabs[p]
+        m = len(idx)
+        if m == 0:
+            continue
+        acd_local[p, 0, :m] = a[idx] - p * B
+        cs = c[idx]
+        own = (cs >= p * B) & (cs < (p + 1) * B)
+        remap = np.empty(m, np.int64)
+        remap[own] = cs[own] - p * B
+        for j in np.nonzero(~own)[0]:
+            q = int(min(cs[j] // B, P - 1))
+            remap[j] = B + lookup[(q, int(cs[j] - q * B))]
+        acd_local[p, 1, :m] = remap
+        acd_local[p, 2, :m] = d[idx]
+    return TupleShardPlan(
+        acd_local=jnp.asarray(np.swapaxes(acd_local, 1, 2)),
+        send_idx=jnp.asarray(send_idx), P=P, B=B, Bnd=Bnd)
+
+
+def make_partitioned_spspmm(mesh: Mesh, plan: TupleShardPlan,
+                            aggr: str = "sum", axis: str = "sp"):
+    """Partitioned-values tuple-parallel spspmm: X values sharded in row
+    blocks over ``axis``; A values replicated (edge tensors are small);
+    output sharded the same way as X.  Communication = one all_gather of
+    the boundary pool."""
+    from jax.sharding import PartitionSpec as P_
+
+    assert aggr == "sum", "partitioned path: sum aggregation"
+
+    def body(Xblk, Av, acd_l, send_l):
+        Xb = Xblk[0]                      # (B, D)
+        acd = acd_l[0]                    # (Kp, 3)
+        pool_mine = Xb[send_l[0]]         # (Bnd, D)
+        pool = jax.lax.all_gather(pool_mine, axis)   # (P, Bnd, D)
+        table = jnp.concatenate([Xb, pool.reshape(-1, Xb.shape[-1])], axis=0)
+        av = table[jnp.minimum(acd[:, 1], table.shape[0] - 1)]
+        bv = Av[jnp.minimum(acd[:, 2], Av.shape[0] - 1)]
+        while bv.ndim < av.ndim:
+            bv = bv[..., None]
+        out = segment_reduce(av * bv, acd[:, 0], plan.B, "sum",
+                             indices_are_sorted=True)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(plan.P, plan.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P_(axis), P_(), P_(axis), P_(axis)),
+            out_specs=P_(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, plan.acd_local, plan.send_idx)
+        return out.reshape(plan.P * plan.B, -1)
+
+    return jax.jit(run)
