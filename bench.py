@@ -194,6 +194,27 @@ def main():
         l = train_step(model, opt, batch)
     final = float(l)  # waits for the whole dependent chain
     step_dt = (time.perf_counter() - t0 - base_rtt) / n_steps
+
+    # ---- train step through the fused kernel (bf16 fast math) -----------
+    from pygho_tpu.hodata import SpDataloader
+    from pygho_tpu.kernels.fused_spspmm import set_fused_math
+
+    set_fused_math(False)
+    dlf = SpDataloader(datas, 128, keys, device_put=True, prefetch=0,
+                       build_plans=True)
+    fbatch = next(iter(dlf))
+    mf = make_sp_model("NGNN", num_layer=6, hiddim=D, seed=0,
+                       mlp={"norm": "bn", "act": "silu"})
+    optf = make_optimizer(mf, 1e-3)
+    lf = float(train_step(mf, optf, fbatch))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        l = train_step(mf, optf, fbatch)
+    finalf = float(l)
+    fstep_dt = (time.perf_counter() - t0 - base_rtt) / n_steps
+    set_fused_math(True)
+    log(f"train step (fused bf16): {fstep_dt * 1e3:.1f} ms "
+        f"(vs {step_dt * 1e3:.1f} XLA), loss {lf:.4f} -> {finalf:.4f}")
     # 6 layers x (fwd + dX + dA) gather-scatter passes over acd
     step_rows = 6 * 3 * acd_rows / step_dt
     log(f"train step: {step_dt * 1e3:.1f} ms "
@@ -214,6 +235,7 @@ def main():
             "dense_dd_ms": dt_dd * 1e3,
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "train_step_ms": step_dt * 1e3,
+            "train_step_fused_bf16_ms": fstep_dt * 1e3,
             "train_rows_per_s": step_rows,
             "acd_rows": acd_rows,
             "platform": str(dev),

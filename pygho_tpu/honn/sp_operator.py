@@ -100,10 +100,11 @@ class OpMessagePassing(nnx.Module):
                 and A.values.shape[1] == B.values.shape[1]):
             # fused Pallas path (sum aggregation, matching feature dims)
             from ..kernels import fused_spspmm
+            from ..kernels.fused_spspmm import get_fused_math
 
             fwd, dxp, dap = plans
-            vals = fused_spspmm(A.values, B.values, fwd, dxp,
-                                dap)[: tarX.nnz_pad]
+            vals = fused_spspmm(A.values, B.values, fwd, dxp, dap,
+                                None, get_fused_math())[: tarX.nnz_pad]
             keep_shape = (tuple(A.sparse_shape[:self.dim1])
                           + tuple(A.sparse_shape[self.dim1 + 1:])
                           + tuple(B.sparse_shape[:self.dim2])

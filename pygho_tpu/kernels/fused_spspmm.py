@@ -48,6 +48,20 @@ DEFAULT_C = 512
 DEFAULT_R = 320
 DEFAULT_S = 512
 
+# default math mode for the operator-layer fused path: True = f32-exact
+# (3 bf16 MXU passes), False = single bf16 pass (~2x faster contractions,
+# training-grade precision).  Flip globally with set_fused_math.
+_DEFAULT_EXACT = True
+
+
+def set_fused_math(exact: bool) -> None:
+    global _DEFAULT_EXACT
+    _DEFAULT_EXACT = bool(exact)
+
+
+def get_fused_math() -> bool:
+    return _DEFAULT_EXACT
+
 
 @dataclasses.dataclass(frozen=True)
 class ChunkPlan:
@@ -326,6 +340,9 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_R_DA = 768
+
+
 def build_spspmm_plans(
     acd: np.ndarray,
     x_rows: int,
@@ -335,6 +352,7 @@ def build_spspmm_plans(
     R: int = DEFAULT_R,
     S: int = DEFAULT_S,
     pad_chunks_to: Optional[int] = None,
+    R_da: Optional[int] = None,
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
     """Build (forward, dX, dA) plans from padded acd triples
     (a = output tuple, c = X row, d = A row; sorted by a).
@@ -342,6 +360,11 @@ def build_spspmm_plans(
     - forward: out[a] += X[c] * A[d]          triples (a, c, d)
     - dX:      dX[c] += g[a] * A[d]           triples (c, a, d) sorted by c
     - dA:      dA[d] += X[c] * g[a]           triples (d, c, a) sorted by d
+
+    The dA plan uses a wider operand window (``R_da``, default 768): the
+    gradient w.r.t. edge values has graph-wide fan-in (one edge's triples
+    touch every subgraph containing it), so its c/a ranges span a whole
+    graph's tuple block rather than one subgraph's.
     """
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
@@ -359,8 +382,9 @@ def build_spspmm_plans(
                           rup(a_rows, R), rup(x_rows, S), C, R, S,
                           pad_chunks_to)
     o2 = np.argsort(d, kind="stable")
-    da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, R),
-                          rup(out_rows, R), rup(a_rows, S), C, R, S,
+    Rda = R_da if R_da is not None else max(R, DEFAULT_R_DA)
+    da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Rda),
+                          rup(out_rows, Rda), rup(a_rows, S), C, Rda, S,
                           pad_chunks_to)
     return fwd, dx, da
 
