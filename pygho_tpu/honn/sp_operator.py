@@ -94,10 +94,18 @@ class OpMessagePassing(nnx.Module):
             "tarX (target pattern) is required: the TPU path has no "
             "dynamic-pattern fallback")
         plans = datadict.get(f"{self.precomputekey}{KEYSEP}plan", None)
+        import jax.numpy as jnp
+
         if (plans is not None and self.aggr == "sum"
                 and A.values is not None and B.values is not None
                 and A.values.ndim == 2 and B.values.ndim == 2
-                and A.values.shape[1] == B.values.shape[1]):
+                and A.values.shape[1] == B.values.shape[1]
+                # bf16 operand kernels currently crash the Mosaic
+                # remote-compile helper in this container; bf16 models
+                # use the XLA path (the fused fast mode already computes
+                # in bf16 internally from f32 operands)
+                and A.values.dtype == jnp.float32
+                and B.values.dtype == jnp.float32):
             # fused Pallas path (sum aggregation, matching feature dims)
             from ..kernels import fused_spspmm
             from ..kernels.fused_spspmm import get_fused_math
@@ -105,6 +113,7 @@ class OpMessagePassing(nnx.Module):
             fwd, dxp, dap = plans
             vals = fused_spspmm(A.values, B.values, fwd, dxp, dap,
                                 None, get_fused_math())[: tarX.nnz_pad]
+            vals = vals.astype(A.values.dtype)
             keep_shape = (tuple(A.sparse_shape[:self.dim1])
                           + tuple(A.sparse_shape[self.dim1 + 1:])
                           + tuple(B.sparse_shape[:self.dim2])

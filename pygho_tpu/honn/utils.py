@@ -43,6 +43,8 @@ class BatchNorm(nnx.Module):
         self.use_running_average = False
 
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics in f32 for stability
         d = x.shape[-1]
         if self.use_running_average:
             mean, var = self.mean[...], self.var[...]
@@ -63,7 +65,8 @@ class BatchNorm(nnx.Module):
             self.var[...] = (1 - self.momentum) * self.var[...] + \
                 self.momentum * var
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * self.scale[...] + self.bias[...]
+        out = (x - mean) * inv * self.scale[...] + self.bias[...]
+        return out.astype(in_dtype)
 
 
 class LayerNorm(nnx.Module):
@@ -77,10 +80,13 @@ class LayerNorm(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((dim,)))
 
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         mean = x.mean(-1, keepdims=True)
         var = x.var(-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * \
+        out = (x - mean) * jax.lax.rsqrt(var + self.eps) * \
             self.scale[...] + self.bias[...]
+        return out.astype(in_dtype)
 
 
 normdict = {"bn": BatchNorm, "ln": LayerNorm, "none": NoneNorm}
@@ -107,12 +113,15 @@ class MLP(nnx.Module):
     def __init__(self, hiddim: int, outdim: int, numlayer: int,
                  tailact: bool, dp: float = 0.0, norm: str = "bn",
                  act: str = "relu", tailbias: bool = True,
-                 normparam: float = 0.1, *, rngs: nnx.Rngs):
+                 normparam: float = 0.1, dtype=None, *, rngs: nnx.Rngs):
         assert numlayer >= 0
         self.numlayer = numlayer
         self.tailact = tailact
         self.act = act_dict[act]
         self.dp = dp
+        # dtype = compute dtype (e.g. jnp.bfloat16 for mixed precision);
+        # params stay f32
+        self.dtype = dtype
         if numlayer == 0:
             assert hiddim == outdim
             self.hid_lins = nnx.List([])
@@ -121,7 +130,7 @@ class MLP(nnx.Module):
             self.tail_lin = None
             return
         self.hid_lins = nnx.List(
-            [nnx.Linear(hiddim, hiddim, rngs=rngs)
+            [nnx.Linear(hiddim, hiddim, dtype=dtype, rngs=rngs)
              for _ in range(numlayer - 1)])
         self.hid_norms = nnx.List(
             [normdict[norm](hiddim, normparam, rngs=rngs)
@@ -130,7 +139,7 @@ class MLP(nnx.Module):
             [nnx.Dropout(dp, rngs=rngs) for _ in range(numlayer - 1)]
             if dp > 0 else [])
         self.tail_lin = nnx.Linear(hiddim, outdim, use_bias=tailbias,
-                                   rngs=rngs)
+                                   dtype=dtype, rngs=rngs)
         if tailact:
             self.tail_norm = normdict[norm](outdim, normparam, rngs=rngs)
             self.tail_dp = nnx.Dropout(dp, rngs=rngs) if dp > 0 else None

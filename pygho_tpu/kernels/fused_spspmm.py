@@ -299,6 +299,8 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if U.dtype == jnp.bfloat16 or V.dtype == jnp.bfloat16:
+        exact = False   # inputs already bf16: decomposition is a no-op
     C, R, S = plan.C, plan.R, plan.S
     D = U.shape[-1]
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
@@ -425,13 +427,15 @@ def _fwd_rule(Xv, Av, fwd, dxp, dap, interpret, exact):
 
 def _bwd_rule(interpret, exact, res, g):
     Xv, Av, fwd, dxp, dap = res
+    g = g.astype(jnp.float32)
     dX = fused_contract(_pad_rows(g, dxp.u_rows),
                         _pad_rows(Av, dxp.v_rows), dxp,
                         interpret=interpret, exact=exact)[: Xv.shape[0]]
     dA = fused_contract(_pad_rows(Xv, dap.u_rows),
                         _pad_rows(g, dap.v_rows), dap,
                         interpret=interpret, exact=exact)[: Av.shape[0]]
-    return dX, dA, _plan_zeros(fwd), _plan_zeros(dxp), _plan_zeros(dap)
+    return (dX.astype(Xv.dtype), dA.astype(Av.dtype),
+            _plan_zeros(fwd), _plan_zeros(dxp), _plan_zeros(dap))
 
 
 fused_spspmm.defvjp(_fwd_rule, _bwd_rule)

@@ -143,10 +143,13 @@ class SpModel(nnx.Module):
                  npool: str = "sum", lpool: str = "mean",
                  cpool: str = "mean", residual: bool = True,
                  outlayer: int = 2, mlp: Optional[dict] = None,
-                 *, rngs: nnx.Rngs):
+                 dtype=None, *, rngs: nnx.Rngs):
         mlp = dict(mlp or {})
         mlp.setdefault("numlayer", 1)
         mlp.setdefault("tailact", True)
+        if dtype is not None:   # mixed precision: bf16 compute, f32 params
+            mlp.setdefault("dtype", dtype)
+        self.dtype = dtype
         self.conv_name = conv
         self.is3d = conv == "I2GNN"
         self.hiddim = hiddim
@@ -154,10 +157,13 @@ class SpModel(nnx.Module):
         self.residual = residual
         self.npool = npool
 
-        self.lin_tupleinit0 = nnx.Linear(hiddim, hiddim, rngs=rngs)
-        self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, rngs=rngs)
+        self.lin_tupleinit0 = nnx.Linear(hiddim, hiddim, dtype=dtype,
+                                         rngs=rngs)
+        self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, dtype=dtype,
+                                         rngs=rngs)
         if self.is3d:
-            self.lin_tupleinit2 = nnx.Linear(hiddim, hiddim, rngs=rngs)
+            self.lin_tupleinit2 = nnx.Linear(hiddim, hiddim, dtype=dtype,
+                                             rngs=rngs)
 
         factory = _sp_convdict(rngs, aggr, cpool, mlp)[conv]
         self.subggnns = nnx.List([factory(hiddim) for _ in range(num_layer)])
@@ -172,6 +178,7 @@ class SpModel(nnx.Module):
                               if k not in ("numlayer", "tailact")})
         self.data_encoder = (InputEncoderI2(hiddim, rngs=rngs) if self.is3d
                              else InputEncoderSp(hiddim, rngs=rngs))
+        self.out_f32 = lambda x: x.astype(jnp.float32)
         self.pred_lin = MLP(hiddim, num_tasks, outlayer, tailact=False,
                             rngs=rngs,
                             **{k: v for k, v in mlp.items()
@@ -193,6 +200,12 @@ class SpModel(nnx.Module):
         A: SparseTensor = datadict["A"]
         X: SparseTensor = datadict["X"]
         x: jax.Array = datadict["x"]
+        if self.dtype is not None:
+            import dataclasses as _dc
+            x = x.astype(self.dtype)
+            A = _dc.replace(A, values=None if A.values is None
+                            else A.values.astype(self.dtype))
+            X = _dc.replace(X, values=X.values.astype(self.dtype))
         X = self.tupleinit(X, x)
         for conv in self.subggnns:
             tX = conv(A, X, datadict)
@@ -207,7 +220,7 @@ class SpModel(nnx.Module):
         num_graphs = datadict["graph_mask"].shape[0]
         h_graph = segment_reduce(xs, datadict["batch"], num_graphs,
                                  self.npool, indices_are_sorted=True)
-        return self.pred_lin(h_graph)
+        return self.pred_lin(h_graph).astype(jnp.float32)
 
     forward = __call__
 

@@ -27,3 +27,20 @@ def make_mesh(axis_sizes: Optional[Tuple[int, ...]] = None,
         f"axis sizes {axis_sizes} do not cover {n} devices")
     dev_array = np.asarray(devices).reshape(axis_sizes)
     return Mesh(dev_array, tuple(axis_names))
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize JAX multi-host (multi-process) execution.
+
+    Call before any other JAX API on each host of a pod slice; afterwards
+    jax.devices() spans all hosts and make_mesh() can lay axes across
+    DCN/ICI.  Args default to the TPU runtime's automatic discovery."""
+    import jax
+
+    kw = {}
+    if coordinator_address is not None:
+        kw.update(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
