@@ -243,5 +243,23 @@ def main():
     }))
 
 
+def _fallback(err):
+    """Emit a valid JSON line even when the TPU tunnel is down so the
+    driver always records something parsable."""
+    print(json.dumps({
+        "metric": "tuple-edges/s/chip (SpMM fwd f32, ZINC NGNN d=128)",
+        "value": 0.0,
+        "unit": "rows/s",
+        "vs_baseline": 0.0,
+        "error": str(err)[:300],
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # tunnel outages must not kill the bench record
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _fallback(e)
