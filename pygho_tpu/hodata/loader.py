@@ -41,7 +41,7 @@ class _BaseLoader:
     def __init__(self, dataset: List[Dict[str, Any]], batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
                  seed: int = 0, device_put: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +49,7 @@ class _BaseLoader:
         self.rng = np.random.default_rng(seed)
         self.device_put = device_put
         self.prefetch = prefetch
+        self.workers = workers  # collation threads (numpy releases the GIL)
         self.buckets: Dict[str, int] = {}
 
     def __len__(self):
@@ -69,9 +70,20 @@ class _BaseLoader:
         idx = self._order()
         bs = self.batch_size
         stop = (len(idx) // bs) * bs if self.drop_last else len(idx)
-        for s in range(0, stop, bs):
-            chunk = [self.dataset[i] for i in idx[s:s + bs]]
-            yield self._collate(chunk)
+        chunks = [[self.dataset[i] for i in idx[s:s + bs]]
+                  for s in range(0, stop, bs)]
+        if self.workers <= 1 or len(chunks) <= 1:
+            for chunk in chunks:
+                yield self._collate(chunk)
+            return
+        # warm the shared shape buckets on the first batch, then collate
+        # the rest concurrently (ordered)
+        from concurrent.futures import ThreadPoolExecutor
+
+        yield self._collate(chunks[0])
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for batch in pool.map(self._collate, chunks[1:]):
+                yield batch
 
     def __iter__(self):
         if self.prefetch <= 0:

@@ -105,7 +105,10 @@ class OpMessagePassing(nnx.Module):
                 # use the XLA path (the fused fast mode already computes
                 # in bf16 internally from f32 operands)
                 and A.values.dtype == jnp.float32
-                and B.values.dtype == jnp.float32):
+                and B.values.dtype == jnp.float32
+                # Mosaic constraint in this container: lane dim must be a
+                # multiple of 128 (smaller feature dims use the XLA path)
+                and A.values.shape[1] % 128 == 0):
             # fused Pallas path (sum aggregation, matching feature dims)
             from ..kernels import fused_spspmm
             from ..kernels.fused_spspmm import get_fused_math

@@ -170,21 +170,29 @@ def build_chunk_plan(
             all_chunks.append((0, 0, 0, 0, last_ob))
 
     n = len(all_chunks)
+    ca = np.asarray(all_chunks, dtype=np.int64).reshape(n, 5)
+    starts_a, ends_a = ca[:, 0], ca[:, 1]
+    ubase = ca[:, 2].astype(np.int32)
+    vbase = ca[:, 3].astype(np.int32)
+    oblk = ca[:, 4].astype(np.int32)
+    # vectorized local-index fill: row r of chunk i sits at (i, r - start_i)
     tuv_local = np.zeros((n, 3, C), dtype=np.int32)
     tuv_local[:, 0, :] = S  # t sentinel: one-hot row all-zero => dropped
-    ubase = np.zeros((n,), np.int32)
-    vbase = np.zeros((n,), np.int32)
-    oblk = np.zeros((n,), np.int32)
-    for i, (s0, e0, ub, vb, ob) in enumerate(all_chunks):
-        m = e0 - s0
-        if m > 0:
-            tuv_local[i, 0, :m] = t[s0:e0] - ob * S
-            tuv_local[i, 1, :m] = u[s0:e0] - ub
-            tuv_local[i, 2, :m] = v[s0:e0] - vb
-        ubase[i], vbase[i], oblk[i] = ub, vb, ob
+    lens = (ends_a - starts_a).astype(np.int64)
+    if lens.sum() > 0:
+        cid = np.repeat(np.arange(n), lens)
+        row = np.concatenate([np.arange(s0, e0)
+                              for s0, e0 in zip(starts_a, ends_a)
+                              if e0 > s0]).astype(np.int64)
+        pos = np.arange(len(row)) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        tuv_local[cid, 0, pos] = (t[row] - ca[cid, 4] * S).astype(np.int32)
+        tuv_local[cid, 1, pos] = (u[row] - ca[cid, 2]).astype(np.int32)
+        tuv_local[cid, 2, pos] = (v[row] - ca[cid, 3]).astype(np.int32)
+    # keep numpy: device transfer happens in one bulk device_put with the
+    # rest of the batch (per-array transfers are RTT-bound on remote TPUs)
     return ChunkPlan(
-        tuv_local=jnp.asarray(tuv_local), ubase=jnp.asarray(ubase),
-        vbase=jnp.asarray(vbase), oblk=jnp.asarray(oblk),
+        tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows)
 
 
@@ -305,6 +313,10 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
     D = U.shape[-1]
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
         "operands must be padded to the plan's row counts")
+    if not interpret:
+        assert D % 128 == 0, (
+            f"fused kernel needs a feature dim that is a multiple of 128 "
+            f"(got {D}); use the XLA spspmm path for smaller dims")
     n_chunks = plan.n_chunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
