@@ -209,3 +209,91 @@ def test_conv_layer_activation_parity(rng, convname):
     nv = tup.shape[1]
     assert maxdiff(np.asarray(my_out.values)[:nv],
                    ref_out.values.detach().numpy()) < 1e-4
+
+
+def test_masked_reduction_parity(rng):
+    """MaskedTensor sum/mean/max match the reference's fill-then-reduce
+    (min intentionally differs — reference bug #1, see PARITY.md)."""
+    from pygho.backend.MaTensor import MaskedTensor as RefMasked
+
+    from pygho_tpu.backend.matensor import MaskedTensor
+
+    data = rng.normal(size=(3, 6, 4)).astype(np.float32)
+    mask = rng.random((3, 6)) < 0.7
+    # the reference constructor's fill is a no-op (PARITY.md bug #9);
+    # pre-zero the masked entries so both sides see the same tensor
+    data = data * mask[..., None]
+    ref = RefMasked(torch.from_numpy(data.copy()),
+                    torch.from_numpy(mask), is_filled=True)
+    mine = MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+    for op in ("sum", "mean", "max"):
+        r = getattr(ref, op)(dims=1).data.detach().numpy()
+        m = np.asarray(getattr(mine, op)(1).data)
+        assert maxdiff(m, r) < TOL, op
+
+
+def test_spmamm_sum_parity(rng):
+    """spmamm with sum aggregation matches the reference (max/min differ
+    deliberately: the reference's masked_fill is a no-op, PARITY.md)."""
+    from pygho.backend.Spmamm import spmamm as ref_spmamm
+    from pygho.backend.MaTensor import MaskedTensor as RefMasked
+
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.spmamm import spmamm
+    from pygho_tpu.backend.sptensor import SparseTensor
+
+    # tuple-level B (b, n, n, d): the reference's edge-value broadcast
+    # only supports B with >= 2 masked dims (PARITY.md bug #10)
+    b, n, d = 2, 6, 4
+    keep = rng.random((b, n, n)) < 0.4
+    vals = rng.normal(size=(b, n, n, d)).astype(np.float32) * keep[..., None]
+    idx = np.nonzero(keep)
+    ind = np.stack(idx).astype(np.int64)
+    v = vals[idx]
+    X = rng.normal(size=(b, n, n, d)).astype(np.float32)
+    xmask = rng.random((b, n, n)) < 0.8
+    X = X * xmask[..., None]
+
+    refA = RefSparse(torch.from_numpy(ind), torch.from_numpy(v),
+                     shape=[b, n, n, d], is_coalesced=True)
+    refB = RefMasked(torch.from_numpy(X.copy()), torch.from_numpy(xmask),
+                     is_filled=True)
+    # Spmamm.py:62 calls masked_fill with non-broadcastable shapes AND
+    # discards the result (bugs #2/#10); neutralize it to reach the
+    # intended computation
+    orig_mf = torch.Tensor.masked_fill
+    torch.Tensor.masked_fill = lambda self, *a, **k: self
+    try:
+        ref = ref_spmamm(refA, 2, refB, 1, None,
+                         "sum").data.detach().numpy()
+    finally:
+        torch.Tensor.masked_fill = orig_mf
+
+    A = SparseTensor.from_numpy(ind, v, (b, n, n), is_coalesced=True)
+    B = MaskedTensor(jnp.asarray(X), jnp.asarray(xmask))
+    got = np.asarray(spmamm(A, 2, B, 1, None, "sum").data)
+    assert maxdiff(got, ref) < 1e-4
+
+
+def test_mamamm_parity(rng):
+    from pygho.backend.Mamamm import mamamm as ref_mamamm
+    from pygho.backend.MaTensor import MaskedTensor as RefMasked
+
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.mamamm import mamamm
+
+    b, n, d = 2, 5, 4
+    X1 = rng.normal(size=(b, n, n, d)).astype(np.float32)
+    X2 = rng.normal(size=(b, n, n, d)).astype(np.float32)
+    mask = rng.random((b, n, n)) < 0.7
+    X1 = X1 * mask[..., None]   # pre-zero: reference fill is a no-op
+    X2 = X2 * mask[..., None]
+    ref = ref_mamamm(
+        RefMasked(torch.from_numpy(X1.copy()), torch.from_numpy(mask), is_filled=True), 2,
+        RefMasked(torch.from_numpy(X2.copy()), torch.from_numpy(mask), is_filled=True), 1,
+        torch.from_numpy(mask)).data.detach().numpy()
+    got = np.asarray(mamamm(
+        MaskedTensor(jnp.asarray(X1), jnp.asarray(mask)), 2,
+        MaskedTensor(jnp.asarray(X2), jnp.asarray(mask)), 1,
+        jnp.asarray(mask)).data)
+    assert maxdiff(got, ref) < 1e-4
