@@ -174,3 +174,25 @@ def test_load_bundled_csl():
     assert len(graphs) == 150
     ys = np.array([int(g.y[0]) for g in graphs])
     assert len(np.unique(ys)) == 10
+
+
+def test_multi_annotate_pipeline(rng):
+    """Two tuple samplers with distinct annotations flow through
+    preprocessing, collation and tensor assembly (reference supports
+    sampler lists via annotate, Wrapper.py:30-56)."""
+    from functools import partial
+
+    graphs = _graphs(rng, 3)
+    keyA = f"X1{KEYSEP}X1{KEYSEP}1{KEYSEP}A{KEYSEP}0"
+    pre = Sppretransform(
+        [partial(KhopSampler, hop=1), partial(KhopSampler, hop=2)],
+        ["1", "2"], [keyA])
+    datas = [pre(g) for g in graphs]
+    assert "tupleid1" in datas[0] and "tupleid2" in datas[0]
+    batch = collate_sparse(datas, [keyA], ["1", "2"], num_graphs=4)
+    dd = batch_to_sparse_dict(batch, ["1", "2"])
+    assert dd["X1"].nnz_pad > 0 and dd["X2"].nnz_pad > 0
+    # hop-2 tuples strictly superset of hop-1
+    assert int(dd["X2"].nnz) > int(dd["X1"].nnz)
+    # acd for the annotated key exists and is padded
+    assert batch[f"{keyA}{KEYSEP}acd"].shape[0] == 3
