@@ -29,6 +29,7 @@ parser.add_argument("--num_layer", type=int, default=4)
 parser.add_argument("--bs", type=int, default=32)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--lr", type=float, default=2e-3)
+parser.add_argument("--norm", choices=["bn", "ln", "none"], default="bn")
 args = parser.parse_args()
 
 import jax
@@ -67,7 +68,7 @@ if args.dataset == "sr25":    # task: memorize/separate all 15 graphs
 
 model = make_sp_model(args.conv, num_tasks=num_classes,
                       num_layer=args.num_layer, hiddim=args.hiddim,
-                      mlp={"norm": "bn", "act": "silu"})
+                      mlp={"norm": args.norm, "act": "silu"})
 keys = parse_precomputekey(model)
 sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
            else partial(KhopSampler, hop=args.hop))

@@ -152,3 +152,32 @@ def make_sparse_classification_steps(annotate=("",)):
         return jnp.stack([(correct * w).sum(), w.sum()])
 
     return train_step, eval_step
+
+
+def make_dense_classification_steps(annotate=("",)):
+    """Jitted train/eval steps for graph classification on the dense
+    path; eval returns [correct_count, total_count]."""
+    from ..hodata.ma_data import batch_to_dense_dict
+
+    @nnx.jit
+    def train_step(model: nnx.Module, optimizer: nnx.Optimizer,
+                   batch: Dict[str, Any]) -> jax.Array:
+        def loss_fn(model):
+            dd = batch_to_dense_dict(batch, annotate)
+            pred = model(dd)
+            return softmax_xent_loss(pred, batch["y"], batch["graph_mask"])
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    @nnx.jit
+    def eval_step(model: nnx.Module, batch: Dict[str, Any]) -> jax.Array:
+        dd = batch_to_dense_dict(batch, annotate)
+        pred = model(dd)
+        y = batch["y"].reshape(-1).astype(jnp.int32)
+        correct = (jnp.argmax(pred, -1) == y)
+        w = batch["graph_mask"].astype(pred.dtype)
+        return jnp.stack([(correct * w).sum(), w.sum()])
+
+    return train_step, eval_step

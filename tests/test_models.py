@@ -16,6 +16,7 @@ from pygho_tpu.honn import parse_precomputekey
 from pygho_tpu.models import make_sp_model, make_ma_model
 from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
                                        make_optimizer, cosine_warm_restarts)
+import jax
 
 MLPD = {"norm": "bn", "act": "silu", "dp": 0.0}
 
@@ -81,3 +82,73 @@ def test_cosine_schedule():
     assert abs(float(sched(25)) - 0.5e-3) < 1e-6
     # after first restart: amplitude decayed by 1/(1+K)
     assert abs(float(sched(50)) - 0.5e-3) < 1e-6
+
+
+def test_ngat_trains():
+    model, dl = _sp_loader("NGAT")
+    opt = make_optimizer(model, 1e-2)
+    train_step, _ = make_sparse_steps()
+    losses = []
+    for _ in range(3):
+        for batch in dl:
+            losses.append(float(train_step(model, opt, batch)))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_bf16_model_trains():
+    import jax.numpy as jnp
+
+    model = make_sp_model("NGNN", num_layer=2, hiddim=16,
+                          dtype=jnp.bfloat16, mlp=dict(MLPD))
+    from pygho_tpu.honn import parse_precomputekey
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=24)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    dl = SpDataloader([pre(g) for g in graphs], 8, keys, shuffle=True,
+                      drop_last=True, device_put=False, prefetch=0, seed=1)
+    opt = make_optimizer(model, 1e-2)
+    ts, _ = make_sparse_steps()
+    losses = [float(ts(model, opt, b)) for _ in range(4) for b in dl]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params stayed f32 (mixed precision contract)
+    from flax import nnx
+    for leaf in jax.tree.leaves(nnx.state(model, nnx.Param)):
+        assert leaf.dtype == jnp.float32
+
+
+def test_sd_mode_model_trains():
+    model = make_ma_model("NGNN", num_layer=2, hiddim=16, mode="SD",
+                          aggr="max", mlp=dict(MLPD))
+    graphs = synthetic_zinc("train", n_graphs=24)
+    pre = Mapretransform(spdsampler, [""])
+    dl = MaDataloader([pre(g) for g in graphs], 8, denseadj=False,
+                      shuffle=True, drop_last=True, device_put=False,
+                      prefetch=0, seed=1)
+    opt = make_optimizer(model, 1e-2)
+    ts, _ = make_dense_steps()
+    losses = [float(ts(model, opt, b)) for _ in range(4) for b in dl]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dense_classification_steps():
+    from pygho_tpu.models.training import make_dense_classification_steps
+
+    # 2-class labels from thresholded y
+    graphs = synthetic_zinc("train", n_graphs=16)
+    for g in graphs:
+        g.y = np.array([int(g.y[0] > 1.0)], dtype=np.int64)
+    model = make_ma_model("NGNN", num_tasks=2, num_layer=1, hiddim=16,
+                          mlp=dict(MLPD))
+    pre = Mapretransform(spdsampler, [""])
+    dl = MaDataloader([pre(g) for g in graphs], 8, device_put=False,
+                      prefetch=0)
+    opt = make_optimizer(model, 1e-2)
+    ts, ev = make_dense_classification_steps()
+    l = float(ts(model, opt, next(iter(dl))))
+    assert np.isfinite(l)
+    model.eval()
+    res = np.asarray(ev(model, next(iter(dl))))
+    assert res[1] == 8.0
