@@ -18,6 +18,11 @@ parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--bs", type=int, default=128)
 parser.add_argument("--hop", type=int, default=3)
+parser.add_argument("--fused", action="store_true",
+                    help="route message passing through the fused Pallas "
+                         "kernel (bf16 fast math)")
+parser.add_argument("--ckpt", default="", help="checkpoint dir (save per "
+                    "epoch; resumes if one exists)")
 args = parser.parse_args()
 
 import jax
@@ -50,16 +55,34 @@ for split in ("train", "val", "test"):
         f"dataset/SYNZINC_{split}", synthetic_zinc(split), pre, 0)
 
 # 3. dataloaders (minimal.py:118-133)
+if args.fused:
+    from pygho_tpu.kernels.fused_spspmm import set_fused_math
+
+    set_fused_math(False)   # bf16 fast math in the fused kernel
 loaders = {
     "train": SpDataloader(datasets["train"].datas, args.bs, keys,
-                          shuffle=True, drop_last=True),
-    "val": SpDataloader(datasets["val"].datas, args.bs, keys),
-    "test": SpDataloader(datasets["test"].datas, args.bs, keys),
+                          shuffle=True, drop_last=True,
+                          build_plans=args.fused),
+    "val": SpDataloader(datasets["val"].datas, args.bs, keys,
+                        build_plans=args.fused),
+    "test": SpDataloader(datasets["test"].datas, args.bs, keys,
+                         build_plans=args.fused),
 }
 
 opt = make_optimizer(model, 1e-3)
 train_step, eval_step = make_sparse_steps()
 metrics = MetricsLogger("runs/minimal_tpu.jsonl")
+
+start_epoch = 1
+if args.ckpt:
+    import os
+
+    from pygho_tpu.utils import save_checkpoint, restore_checkpoint
+
+    if os.path.isdir(args.ckpt) and any(
+            d.startswith("step_") for d in os.listdir(args.ckpt)):
+        start_epoch = restore_checkpoint(args.ckpt, model, opt) + 1
+        print(f"resumed from epoch {start_epoch - 1}")
 
 
 def train(dl):
@@ -79,7 +102,7 @@ def evaluate(dl):
 
 
 best_val, tst_score = float("inf"), float("inf")
-for epoch in range(1, args.epochs + 1):
+for epoch in range(start_epoch, args.epochs + 1):
     t1 = time.time()
     loss = train(loaders["train"])
     t2 = time.time()
@@ -90,6 +113,8 @@ for epoch in range(1, args.epochs + 1):
     t3 = time.time()
     mem = device_memory_stats().get("peak_gb_in_use", 0.0)
     metrics.log_epoch(epoch, t2 - t1, t3 - t2, mem, loss, val, tst_score)
+    if args.ckpt:
+        save_checkpoint(args.ckpt, model, opt, step=epoch)
     if np.isnan(loss) or np.isnan(val):
         break
 

@@ -301,3 +301,25 @@ def pad_acd(acd: np.ndarray, target: int) -> np.ndarray:
     out[0, k:] = PAD_INDEX
     out[:, :k] = acd
     return out
+
+
+def ptr2batch(ptr: np.ndarray, dim_size: Optional[int] = None) -> np.ndarray:
+    """Expand a pointer array into per-element segment ids:
+    out[ptr[i]:ptr[i+1]] = i (reference Spspmm.py:9-31)."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    assert ptr.ndim == 1 and ptr[0] == 0 and np.all(np.diff(ptr) >= 0)
+    if dim_size is not None:
+        assert ptr[-1] == dim_size
+    return np.repeat(np.arange(ptr.shape[0] - 1, dtype=np.int64),
+                     np.diff(ptr))
+
+
+def deg2batch(deg: np.ndarray, dim_size: Optional[int] = None) -> np.ndarray:
+    """Expand per-segment counts into per-element segment ids
+    (reference Spspmm.py:34-54)."""
+    deg = np.asarray(deg, dtype=np.int64)
+    assert deg.ndim == 1 and np.all(deg >= 0)
+    out = np.repeat(np.arange(deg.shape[0], dtype=np.int64), deg)
+    if dim_size is not None:
+        assert out.shape[0] == dim_size
+    return out

@@ -308,3 +308,24 @@ def test_spspmm_grad_flows(rng):
     g = jax.grad(loss)(X.values)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_ptr2batch_deg2batch():
+    assert np.array_equal(indexing.ptr2batch(np.array([0, 2, 2, 5])),
+                          np.array([0, 0, 2, 2, 2]))
+    assert np.array_equal(indexing.deg2batch(np.array([2, 0, 3])),
+                          np.array([0, 0, 2, 2, 2]))
+
+
+def test_norm_momentum_scheduler():
+    from flax import nnx
+    from pygho_tpu.honn.utils import BatchNorm, MLP, NormMomentumScheduler
+
+    m = MLP(4, 4, 2, True, norm="bn", rngs=nnx.Rngs(0))
+    sched = NormMomentumScheduler(lambda e: 1.0 / (e + 1), 0.1)
+    sched.step(m)          # epoch 0: ratio 1 -> unchanged
+    cur = sched.step(m)    # epoch 1: ratio 0.5
+    assert abs(cur - 0.05) < 1e-9
+    for _, mod in nnx.iter_graph(m):
+        if isinstance(mod, BatchNorm):
+            assert abs(mod.momentum - 0.05) < 1e-9
