@@ -239,3 +239,120 @@ def make_partitioned_spspmm(mesh: Mesh, plan: TupleShardPlan,
         return out.reshape(plan.P * plan.B, -1)
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# v3: overlapped boundary exchange
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class OverlappedShardPlan:
+    """Like TupleShardPlan but with the per-device triples split into a
+    local set (c inside the own block) and a boundary set (c remote).
+    The device function issues the boundary all_gather first, computes
+    the local contraction while the collective is in flight (XLA's async
+    collective scheduler overlaps them — there is no data dependency),
+    then adds the boundary contributions."""
+
+    acd_loc: jax.Array     # i32[P, Kl, 3] local triples (a_l, c_local, d)
+    acd_bnd: jax.Array     # i32[P, Kb, 3] boundary (a_l, pool_idx, d)
+    send_idx: jax.Array    # i32[P, Bnd]
+    P: int
+    B: int
+    Bnd: int
+
+
+jax.tree_util.register_dataclass(
+    OverlappedShardPlan, data_fields=["acd_loc", "acd_bnd", "send_idx"],
+    meta_fields=["P", "B", "Bnd"])
+
+
+def build_overlapped_shard_plan(acd: np.ndarray, nnz_pad: int,
+                                P: int) -> OverlappedShardPlan:
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a, c, d = (acd[0][real].astype(np.int64), acd[1][real].astype(np.int64),
+               acd[2][real].astype(np.int64))
+    assert nnz_pad % P == 0
+    B = nnz_pad // P
+    owner = np.minimum(a // B, P - 1)
+    c_owner = np.minimum(c // B, P - 1)
+    is_local = c_owner == owner
+
+    # boundary pools (as in build_tuple_shard_plan)
+    bnd_sets = [set() for _ in range(P)]
+    for p in range(P):
+        sel = (owner == p) & ~is_local
+        for cq, q in zip(c[sel], c_owner[sel]):
+            bnd_sets[int(q)].add(int(cq - q * B))
+    bnd_lists = [sorted(s) for s in bnd_sets]
+    Bnd = max(max((len(b) for b in bnd_lists), default=1), 1)
+    send_idx = np.zeros((P, Bnd), np.int32)
+    lookup = {}
+    for q, rows in enumerate(bnd_lists):
+        for pos, r in enumerate(rows):
+            send_idx[q, pos] = r
+            lookup[(q, r)] = q * Bnd + pos
+
+    Kl = max(int(max((np.sum((owner == p) & is_local) for p in range(P)),
+                     default=1)), 1)
+    Kb = max(int(max((np.sum((owner == p) & ~is_local) for p in range(P)),
+                     default=1)), 1)
+    acd_loc = np.zeros((P, Kl, 3), np.int32)
+    acd_bnd = np.zeros((P, Kb, 3), np.int32)
+    acd_loc[:, :, 0] = PAD_INDEX
+    acd_bnd[:, :, 0] = PAD_INDEX
+    for p in range(P):
+        sel_l = np.nonzero((owner == p) & is_local)[0]
+        acd_loc[p, :len(sel_l), 0] = a[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 1] = c[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 2] = d[sel_l]
+        sel_b = np.nonzero((owner == p) & ~is_local)[0]
+        acd_bnd[p, :len(sel_b), 0] = a[sel_b] - p * B
+        acd_bnd[p, :len(sel_b), 1] = np.asarray(
+            [lookup[(int(min(cc // B, P - 1)),
+                     int(cc - min(cc // B, P - 1) * B))]
+             for cc in c[sel_b]], np.int64)
+        acd_bnd[p, :len(sel_b), 2] = d[sel_b]
+    return OverlappedShardPlan(
+        acd_loc=jnp.asarray(acd_loc), acd_bnd=jnp.asarray(acd_bnd),
+        send_idx=jnp.asarray(send_idx), P=P, B=B, Bnd=Bnd)
+
+
+def make_overlapped_spspmm(mesh: Mesh, plan: OverlappedShardPlan,
+                           axis: str = "sp"):
+    """Partitioned tuple-parallel spspmm with comm/compute overlap."""
+    from jax.sharding import PartitionSpec as P_
+
+    def body(Xblk, Av, loc, bnd, send_l):
+        Xb = Xblk[0]
+        # start the boundary exchange; the local contraction below has no
+        # data dependency on it, so XLA schedules them concurrently
+        pool = jax.lax.all_gather(Xb[send_l[0]], axis)     # (P, Bnd, D)
+        l = loc[0]
+        av = Xb[jnp.minimum(l[:, 1], Xb.shape[0] - 1)]
+        bv = Av[jnp.minimum(l[:, 2], Av.shape[0] - 1)]
+        out = segment_reduce(av * bv, l[:, 0], plan.B, "sum",
+                             indices_are_sorted=True)
+        # boundary contributions from the gathered pool
+        flat = pool.reshape(-1, Xb.shape[-1])
+        b = bnd[0]
+        avb = flat[jnp.minimum(b[:, 1], flat.shape[0] - 1)]
+        bvb = Av[jnp.minimum(b[:, 2], Av.shape[0] - 1)]
+        out = out + segment_reduce(avb * bvb, b[:, 0], plan.B, "sum",
+                                   indices_are_sorted=True)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(plan.P, plan.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P_(axis), P_(), P_(axis), P_(axis), P_(axis)),
+            out_specs=P_(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, plan.acd_loc, plan.acd_bnd, plan.send_idx)
+        return out.reshape(plan.P * plan.B, -1)
+
+    return jax.jit(run)

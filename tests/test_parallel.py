@@ -143,3 +143,23 @@ def test_partitioned_tuple_parallel_matches_spspmm(rng):
     run = make_partitioned_spspmm(mesh, plan)
     got = run(X.values, A.values)
     assert maxdiff(got, ref.values) < 1e-5
+
+
+def test_overlapped_tuple_parallel_matches_spspmm(rng):
+    from pygho_tpu.parallel.tuple_parallel import (
+        build_overlapped_shard_plan, make_overlapped_spspmm)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
+    acd = indexing.filterind(indX, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1], 256))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_overlapped_shard_plan(acd_p, X.nnz_pad, 8)
+    run = make_overlapped_spspmm(mesh, plan)
+    got = run(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-5
