@@ -30,6 +30,10 @@ parser.add_argument("--bs", type=int, default=32)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--lr", type=float, default=2e-3)
 parser.add_argument("--norm", choices=["bn", "ln", "none"], default="bn")
+parser.add_argument("--normparam", type=float, default=0.1,
+                    help="batchnorm momentum; 1.0 with full-batch training "
+                         "makes eval-mode stats equal train-mode (useful "
+                         "for tiny transductive sets like sr25)")
 args = parser.parse_args()
 
 import jax
@@ -68,7 +72,7 @@ if args.dataset == "sr25":    # task: memorize/separate all 15 graphs
 
 model = make_sp_model(args.conv, num_tasks=num_classes,
                       num_layer=args.num_layer, hiddim=args.hiddim,
-                      mlp={"norm": args.norm, "act": "silu"})
+                      mlp={"norm": args.norm, "act": "silu", "normparam": args.normparam})
 keys = parse_precomputekey(model)
 sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
            else partial(KhopSampler, hop=args.hop))

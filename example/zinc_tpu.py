@@ -42,6 +42,8 @@ parser.add_argument("--epochs", type=int, default=100)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--hiddim", type=int, default=128)
+parser.add_argument("--fused", action="store_true",
+                    help="fused Pallas kernel with bf16 fast math (sparse)")
 args = parser.parse_args()
 
 import jax
@@ -92,8 +94,13 @@ def run_once(rep: int) -> float:
                                        synthetic_zinc(s), pre, 0)
           for s in ("train", "val", "test")}
     if args.sparse:
+        if args.fused:
+            from pygho_tpu.kernels.fused_spspmm import set_fused_math
+
+            set_fused_math(False)
         mk = lambda split, **kw: SpDataloader(ds[split].datas, args.bs,
-                                              keys, **kw)
+                                              keys, build_plans=args.fused,
+                                              **kw)
         train_step, eval_step = make_sparse_steps()
     else:
         mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)
