@@ -46,6 +46,10 @@ parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
 args = parser.parse_args()
 
+if args.conv == "NGAT" and not args.sparse:
+    parser.error("NGAT is sparse-only (spspmpnn attention path); "
+                 "add --sparse")
+
 import jax
 
 if args.cpu:

@@ -248,8 +248,10 @@ class SparseTensor:
         for d in dims[1:]:
             ondiag &= self.indices[d] == first
         tar = jnp.where(ondiag, first, self.sparse_shape[dims[0]])
+        # NOT sorted: off-diagonal rows map to the out-of-range sentinel
+        # interleaved between ascending diagonal ids
         return segment_reduce(self.values, tar, self.sparse_shape[dims[0]],
-                              "sum", indices_are_sorted=True)
+                              "sum", indices_are_sorted=False)
 
     def diag(self, dims: Optional[Sequence[int]] = None,
              return_sparse: bool = False):

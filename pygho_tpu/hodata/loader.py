@@ -10,6 +10,20 @@ from __future__ import annotations
 import functools
 import queue
 import threading
+
+
+class Buckets(dict):
+    """Monotone, thread-safe bucket registry: concurrent collation workers
+    may race on updates, but a bucket can only grow (max-merge on set), so
+    the 'padding sizes only grow' invariant holds under concurrency."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._lock = threading.Lock()
+
+    def __setitem__(self, key, value):
+        with self._lock:
+            super().__setitem__(key, max(value, super().get(key, 0)))
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -50,7 +64,7 @@ class _BaseLoader:
         self.device_put = device_put
         self.prefetch = prefetch
         self.workers = workers  # collation threads (numpy releases the GIL)
-        self.buckets: Dict[str, int] = {}
+        self.buckets: Dict[str, int] = Buckets()
 
     def __len__(self):
         n = len(self.dataset)

@@ -241,7 +241,9 @@ class NGATConv(nnx.Module):
         acd = datadict[f"{self.keyop.precomputekey}{KEYSEP}acd"]
 
         def message(av, bv, cv, seg):
-            score = self.att1(av) * self.attA(bv) * self.att2(cv)
+            score = self.att1(av) * self.att2(cv)
+            if bv is not None:   # adjacency without edge features
+                score = score * self.attA(bv)
             alpha = segment_softmax(score, seg, nseg)
             return alpha * self.att3(av)
 

@@ -391,14 +391,17 @@ def build_spspmm_plans(
     fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, R),
                            rup(a_rows, R), rup(out_rows, S), C, R, S,
                            pad_chunks_to)
+    # the gradient-side "operand" is the cotangent g, whose row count is
+    # the forward's padded OUTPUT (rup(out_rows, S)); window-pad that
+    g_rows = rup(out_rows, S)
     o1 = np.argsort(c, kind="stable")
-    dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(out_rows, R),
+    dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, R),
                           rup(a_rows, R), rup(x_rows, S), C, R, S,
                           pad_chunks_to)
     o2 = np.argsort(d, kind="stable")
     Rda = R_da if R_da is not None else max(R, DEFAULT_R_DA)
     da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Rda),
-                          rup(out_rows, Rda), rup(a_rows, S), C, Rda, S,
+                          rup(g_rows, Rda), rup(a_rows, S), C, Rda, S,
                           pad_chunks_to)
     return fwd, dx, da
 

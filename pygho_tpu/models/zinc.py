@@ -190,6 +190,9 @@ class SpModel(nnx.Module):
         t0 = self.lin_tupleinit0(x)[jnp.minimum(X.indices[0], x.shape[0] - 1)]
         t1 = self.lin_tupleinit1(x)[jnp.minimum(X.indices[1], x.shape[0] - 1)]
         if self.is3d:
+            # reference quirk kept for parity: example/zinc.py:282 also
+            # gathers lin_tupleinit2 at indices[1] (not [2]) — the third
+            # node never enters the init product
             t2 = self.lin_tupleinit2(x)[
                 jnp.minimum(X.indices[1], x.shape[0] - 1)]
             return X.tuplewiseapply(lambda v: t0 * t1 * t2 * v)

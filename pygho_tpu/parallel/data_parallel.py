@@ -33,17 +33,33 @@ def collate_sharded_sparse(
     axis.  Shared ``buckets`` force identical padded shapes across the
     shards (a requirement for stacking and for stable jit shapes)."""
     buckets = buckets if buckets is not None else {}
-    shards = []
-    # first pass grows the shared buckets to the max over shards, second
-    # pass collates with the final sizes so every shard stacks
-    for pass_i in range(2):
-        shards = []
-        for d in range(num_devices):
-            chunk = datas[d * per_device_graphs:(d + 1) * per_device_graphs]
-            assert len(chunk) > 0, "not enough graphs for the device count"
-            shards.append(collate_sparse(chunk, keys, annotate,
-                                         num_graphs=per_device_graphs,
-                                         buckets=buckets))
+    chunks = []
+    for d in range(num_devices):
+        chunk = datas[d * per_device_graphs:(d + 1) * per_device_graphs]
+        assert len(chunk) > 0, "not enough graphs for the device count"
+        chunks.append(chunk)
+    # cheap size-only pass: grow the shared buckets to the max over shards
+    # so one real collation produces stackable shapes
+    from ..backend.indexing import bucket_size
+
+    for chunk in chunks:
+        sizes = {
+            "nodes": sum(d["num_nodes"] for d in chunk),
+            "edges": sum(d["num_edges"] for d in chunk),
+        }
+        for ann in annotate:
+            sizes[f"tuples{ann}"] = sum(d[f"num_tuples{ann}"]
+                                        for d in chunk)
+        for key in keys:
+            if key:
+                sizes[f"acd{key}"] = sum(
+                    d[f"{key}___acd"].shape[1] for d in chunk)
+        for name, n in sizes.items():
+            buckets[name] = max(bucket_size(max(n, 1)),
+                                buckets.get(name, 0))
+    shards = [collate_sparse(chunk, keys, annotate,
+                             num_graphs=per_device_graphs, buckets=buckets)
+              for chunk in chunks]
     out = {}
     for k in shards[0]:
         out[k] = np.stack([s[k] for s in shards])

@@ -15,8 +15,8 @@ from typing import Literal, Optional
 
 @dataclasses.dataclass
 class ModelConfig:
-    conv: Literal["NGNN", "GNNAK", "DSSGNN", "SSWL", "SUN", "PPGN",
-                  "I2GNN"] = "NGNN"
+    conv: Literal["NGNN", "NGAT", "GNNAK", "DSSGNN", "SSWL", "SUN",
+                  "PPGN", "I2GNN"] = "NGNN"
     sparse: bool = True               # --sparse: SS vs DD mode
     num_tasks: int = 1
     num_layer: int = 6

@@ -93,3 +93,35 @@ def test_fused_empty_blocks_are_zero(rng):
                                     interpret=True))
     # only the 2 tuple rows may be nonzero
     assert np.all(out[2:] == 0)
+
+
+def test_fused_backward_nonmultiple_bucket(rng):
+    """Regression: gradients must work when nnz_pad is not a multiple of
+    the window sizes (e.g. bucket 640) — the cotangent has
+    rup(out_rows, S) rows, which the gradient plans must accommodate."""
+    n, d = 20, 128
+    dense = rng.normal(size=(n, n)) * (rng.random((n, n)) > 0.5)
+    ij = np.nonzero(dense)
+    ind = np.stack(ij).astype(np.int64)
+    X = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], d)).astype(np.float32), (n, n),
+        nnz_pad=640)
+    A = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], d)).astype(np.float32), (n, n),
+        nnz_pad=640)
+    tar, bcd = indexing.spspmm_ind(ind, 1, ind, 0)
+    acd = indexing.pad_acd(indexing.filterind(ind, tar, bcd), 2048)
+    fwd, dxp, dap = build_spspmm_plans(acd, 640, 640, 640)
+    g = jax.grad(lambda xv, av: (fused_spspmm(
+        xv, av, fwd, dxp, dap, True)[:640] ** 2).sum(), (0, 1))(
+            X.values, A.values)
+    assert np.isfinite(np.asarray(g[0])).all()
+    # oracle
+    ref = jax.grad(lambda xv, av: (spspmm(
+        SparseTensor(X.indices, xv, X.nnz, X.sparse_shape), 1,
+        SparseTensor(A.indices, av, A.nnz, A.sparse_shape), 0, "sum",
+        acd=jnp.asarray(acd),
+        tarX=SparseTensor(X.indices, xv, X.nnz, X.sparse_shape)).values
+        ** 2).sum(), (0, 1))(X.values, A.values)
+    assert maxdiff(g[0], ref[0]) < 1e-4
+    assert maxdiff(g[1], ref[1]) < 1e-4
