@@ -30,6 +30,10 @@ parser.add_argument("--bs", type=int, default=32)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--lr", type=float, default=2e-3)
 parser.add_argument("--norm", choices=["bn", "ln", "none"], default="bn")
+parser.add_argument("--eval_train_mode", action="store_true",
+                    help="evaluate with batch statistics (transductive "
+                         "full-batch tasks like sr25, where eval-mode "
+                         "running stats lag the razor-thin class margins)")
 parser.add_argument("--normparam", type=float, default=0.1,
                     help="batchnorm momentum; 1.0 with full-batch training "
                          "makes eval-mode stats equal train-mode (useful "
@@ -95,7 +99,10 @@ for epoch in range(1, args.epochs + 1):
     t0 = time.time()
     model.train()
     losses = [float(train_step(model, opt, b)) for b in trn]
-    model.eval()
+    if args.eval_train_mode:
+        model.train()
+    else:
+        model.eval()
     tot = np.zeros(2)
     for b in val:
         tot += np.asarray(eval_step(model, b))
