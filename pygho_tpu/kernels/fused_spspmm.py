@@ -19,9 +19,10 @@ VMEM-resident operand windows instead:
   with a second one-hot matmul onto the (S, D) output block.
   Consecutive chunks mapping to the same output block accumulate in VMEM
   (revisit pattern); each block spills to HBM once.
-- Math modes: ``exact`` decomposes f32 values into bf16 hi+lo pairs (two
-  MXU passes, f32-exact results — the MXU would otherwise truncate f32
-  operands); ``fast`` runs one bf16 pass (training-grade precision).
+- Math modes: ``exact`` decomposes f32 values into three bf16 terms
+  (three MXU passes, f32-accurate results — the MXU would otherwise
+  truncate f32 operands); ``fast`` runs one bf16 pass (training-grade
+  precision).
 
 The backward pass reuses the same kernel with role-permuted triples
 (dU[u] += g[t] * V[v] and dV[v] += U[u] * g[t]) whose plans are also

@@ -14,8 +14,11 @@ from .mesh import make_mesh
 from .data_parallel import (collate_sharded_sparse, make_dp_train_step,
                             make_dp_eval_step)
 from .tuple_parallel import spspmm_tuple_parallel
+from .giant import (build_giant_graph_plan, init_giant_params,
+                    make_giant_graph_step)
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
     "make_dp_eval_step", "spspmm_tuple_parallel",
+    "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
 ]

@@ -1,0 +1,161 @@
+"""End-to-end tuple-parallel training for a single giant graph.
+
+The DP path shards over graphs; when ONE graph's tuple tensor exceeds a
+chip, the scaling axis is the tuple dimension itself (SURVEY.md §5,
+BASELINE metric b).  This module trains a multi-layer NGNN-style model
+with X values row-block-sharded over the "sp" mesh axis end to end:
+
+- per layer: a row-local MLP (replicated weights) + the overlapped
+  tuple-parallel contraction (local triples compute under the boundary
+  all_gather) + residual — all inside one shard_map;
+- the readout pools the sharded tuple rows to their root nodes with a
+  local segment-reduce followed by a psum (roots' tuples can span
+  shards);
+- gradients of the replicated parameters are psum'd over the axis.
+
+Everything data-dependent (the per-layer OverlappedShardPlan, the
+root-pooling segment ids) is host-precomputed, as everywhere else in the
+framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..backend.indexing import PAD_INDEX
+from ..backend.segment import segment_reduce
+from .tuple_parallel import OverlappedShardPlan, build_overlapped_shard_plan
+
+
+@dataclasses.dataclass(frozen=True)
+class GiantGraphPlan:
+    """Sharding plan for one giant graph's NGNN stack."""
+    contraction: OverlappedShardPlan   # per-layer (same pattern every layer)
+    root_ids: jax.Array                # i32[P, B] root node per local tuple
+    n_nodes: int                       # padded node count (output rows)
+    P: int
+    B: int
+
+
+jax.tree_util.register_dataclass(
+    GiantGraphPlan, data_fields=["contraction", "root_ids"],
+    meta_fields=["n_nodes", "P", "B"])
+
+
+def build_giant_graph_plan(acd: np.ndarray, tupleid: np.ndarray,
+                           nnz_pad: int, n_nodes: int,
+                           P: int) -> GiantGraphPlan:
+    contraction = build_overlapped_shard_plan(acd, nnz_pad, P)
+    B = nnz_pad // P
+    tid0 = np.asarray(tupleid)[0]
+    root = np.where(tid0 < PAD_INDEX, tid0, n_nodes).astype(np.int32)
+    root_ids = root.reshape(P, B)
+    return GiantGraphPlan(contraction=contraction,
+                          root_ids=jnp.asarray(root_ids),
+                          n_nodes=n_nodes, P=P, B=B)
+
+
+def init_giant_params(num_layer: int, d: int, seed: int = 0) -> Dict:
+    """Simple replicated parameter pytree: per-layer Linear + readout."""
+    ks = jax.random.split(jax.random.key(seed), num_layer + 1)
+    scale = 1.0 / np.sqrt(d)
+    params = {
+        "layers": [
+            {"w": jax.random.normal(ks[i], (d, d)) * scale,
+             "b": jnp.zeros((d,))}
+            for i in range(num_layer)
+        ],
+        "out": {"w": jax.random.normal(ks[-1], (d, 1)) * scale,
+                "b": jnp.zeros((1,))},
+    }
+    return params
+
+
+def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
+                          num_layer: int, lr: float = 1e-3,
+                          axis: str = "sp"):
+    """Build (loss_fn, sgd_step) for the sharded NGNN stack.
+
+    Both are jitted; inputs: params (replicated), Xv (nnz_pad, D) sharded
+    by row blocks, Av (edge values, replicated), y (n_nodes,) node-level
+    regression targets (replicated).
+    """
+    c = plan.contraction
+
+    def device_forward(params, Xblk, Av, loc, bnd, send_l, roots):
+        Xb = Xblk[0]                                    # (B, D)
+        for lay in params["layers"]:
+            h = jax.nn.relu(Xb @ lay["w"] + lay["b"])   # local MLP rows
+            # overlapped contraction: boundary exchange of the POST-MLP
+            # values runs while local triples reduce
+            pool = jax.lax.all_gather(h[send_l[0]], axis)
+            l = loc[0]
+            av = h[jnp.minimum(l[:, 1], h.shape[0] - 1)]
+            bv = Av[jnp.minimum(l[:, 2], Av.shape[0] - 1)]
+            out = segment_reduce(av * bv, l[:, 0], plan.B, "sum",
+                                 indices_are_sorted=True)
+            flat = pool.reshape(-1, h.shape[-1])
+            b = bnd[0]
+            avb = flat[jnp.minimum(b[:, 1], flat.shape[0] - 1)]
+            bvb = Av[jnp.minimum(b[:, 2], Av.shape[0] - 1)]
+            out = out + segment_reduce(avb * bvb, b[:, 0], plan.B, "sum",
+                                       indices_are_sorted=True)
+            Xb = Xb + out                               # residual
+        # root pooling: local partial sums + psum (roots span shards)
+        node_h = segment_reduce(Xb, roots[0], plan.n_nodes, "sum",
+                                indices_are_sorted=True)
+        node_h = jax.lax.psum(node_h, axis)
+        pred = node_h @ params["out"]["w"] + params["out"]["b"]
+        return pred[:, 0]
+
+    def device_loss(params, Xblk, Av, loc, bnd, send_l, roots, y):
+        pred = device_forward(params, Xblk, Av, loc, bnd, send_l, roots)
+        return jnp.mean((pred - y) ** 2)
+
+    def sharded(fn):
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis),
+                      P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+    loss_sm = sharded(device_loss)
+
+    def grad_body(params, Xblk, Av, loc, bnd, send_l, roots, y):
+        loss, grads = jax.value_and_grad(device_loss)(
+            params, Xblk, Av, loc, bnd, send_l, roots, y)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+        return loss, grads
+
+    grad_sm = jax.shard_map(
+        grad_body, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+                  P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def loss_fn(params, Xv, Av, y):
+        Xs = Xv.reshape(plan.P, plan.B, -1)
+        return loss_sm(params, Xs, Av, c.acd_loc, c.acd_bnd, c.send_idx,
+                       plan.root_ids, y)
+
+    @jax.jit
+    def step(params, Xv, Av, y):
+        Xs = Xv.reshape(plan.P, plan.B, -1)
+        loss, grads = grad_sm(params, Xs, Av, c.acd_loc, c.acd_bnd,
+                              c.send_idx, plan.root_ids, y)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    return loss_fn, step

@@ -163,3 +163,81 @@ def test_overlapped_tuple_parallel_matches_spspmm(rng):
     run = make_overlapped_spspmm(mesh, plan)
     got = run(X.values, A.values)
     assert maxdiff(got, ref.values) < 1e-5
+
+
+def test_giant_graph_training(rng):
+    """End-to-end sp-sharded NGNN training on one giant graph matches a
+    single-device implementation of the same model."""
+    import scipy.sparse as ssp
+
+    from pygho_tpu.parallel.giant import (build_giant_graph_plan,
+                                          init_giant_params,
+                                          make_giant_graph_step)
+
+    n, d, L = 120, 8, 2
+    adj = (rng.random((n, n)) < 0.05)
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    edges = np.stack(np.nonzero(adj)).astype(np.int64)
+    spd = ssp.csgraph.shortest_path(
+        ssp.coo_matrix((np.ones(edges.shape[1]), (edges[0], edges[1])),
+                       (n, n)).tocsr(), unweighted=True)
+    ii, jj = np.nonzero(spd <= 2)
+    tup = np.stack([ii, jj]).astype(np.int64)
+
+    nnz_pad = indexing.bucket_size(tup.shape[1], 512)
+    tid = indexing.pad_indices(tup, nnz_pad)
+    tar, bcd = indexing.spspmm_ind(tup, 1, edges, 0)
+    acd = indexing.filterind(tup, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, 8)
+    params = init_giant_params(L, d)
+    Xv = jnp.asarray(indexing.pad_values(
+        rng.normal(size=(tup.shape[1], d)).astype(np.float32), nnz_pad))
+    Av = jnp.asarray(rng.normal(size=(edges.shape[1], d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    loss_fn, step = make_giant_graph_step(mesh, plan, L, lr=1e-5)
+
+    # single-device oracle of the same math
+    def oracle(params):
+        Xb = Xv
+        a = jnp.asarray(acd_p)
+        roots = jnp.where(jnp.asarray(tid[0]) < indexing.PAD_INDEX,
+                          jnp.asarray(tid[0]), n)
+        for lay in params["layers"]:
+            h = jax.nn.relu(Xb @ lay["w"] + lay["b"])
+            av = h[jnp.minimum(a[1], nnz_pad - 1)]
+            bv = Av[jnp.minimum(a[2], Av.shape[0] - 1)]
+            out = jax.ops.segment_sum(av * bv, a[0], nnz_pad,
+                                      indices_are_sorted=True)
+            Xb = Xb + out
+        node_h = jax.ops.segment_sum(Xb, roots, n)
+        pred = (node_h @ params["out"]["w"] + params["out"]["b"])[:, 0]
+        return jnp.mean((pred - y) ** 2)
+
+    l_sharded = float(loss_fn(params, Xv, Av, y))
+    l_oracle = float(oracle(params))
+    assert abs(l_sharded - l_oracle) < 1e-3 * max(1.0, abs(l_oracle)), (
+        l_sharded, l_oracle)
+
+    # a few SGD steps decrease the loss and stay finite
+    p = params
+    losses = []
+    for _ in range(5):
+        p, l = step(p, Xv, Av, y)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # gradient parity with the oracle on the first step
+    g_oracle = jax.grad(oracle)(params)
+    _, g_like = step(params, Xv, Av, y)  # loss only; recompute grads via diff
+    # compare params after one oracle SGD step vs sharded step
+    p1, _ = step(params, Xv, Av, y)
+    p2 = jax.tree.map(lambda w, g: w - 1e-5 * g, params, g_oracle)
+    worst = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+    assert worst < 1e-4, worst
