@@ -149,7 +149,8 @@ class SpDataloader(_BaseLoader):
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
         self.build_plans = build_plans
-        self.plan_geometry = plan_geometry
+        self.plan_geometry = plan_geometry   # (C,R,S) | "auto" | None
+        self._geoms: Dict[str, tuple] = {}
 
     def _collate(self, datas):
         batch = collate_sparse(datas, self.keys, self.annotate,
@@ -164,9 +165,10 @@ class SpDataloader(_BaseLoader):
         from ..honn.sp_operator import KEYSEP
         from ..hodata.sp_data import parsekey, parseop
         from ..kernels import build_spspmm_plans
-        from ..kernels.fused_spspmm import DEFAULT_C, DEFAULT_R, DEFAULT_S
+        from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
+                                            suggest_geometry)
 
-        C, R, S = self.plan_geometry or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
+        geom = self.plan_geometry
 
         def rows_of(op):
             if op[0] == "X":
@@ -178,6 +180,13 @@ class SpDataloader(_BaseLoader):
                 continue
             op0, op1, _, op2, _ = parsekey(key)
             acd = batch[f"{key}{KEYSEP}acd"]
+            if geom == "auto":
+                gname = f"geom{key}"
+                if gname not in self._geoms:
+                    self._geoms[gname] = suggest_geometry(acd)
+                C, R, S = self._geoms[gname]
+            else:
+                C, R, S = geom or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
             plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
                                        rows_of(op0), C, R, S)
             # stabilize chunk counts across batches

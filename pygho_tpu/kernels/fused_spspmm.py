@@ -455,3 +455,27 @@ def _bwd_rule(interpret, exact, res, g):
 
 
 fused_spspmm.defvjp(_fwd_rule, _bwd_rule)
+
+
+def suggest_geometry(acd: np.ndarray, C: int = DEFAULT_C,
+                     candidates=(256, 320, 384, 512, 768, 1024)) -> Tuple[int, int, int]:
+    """Pick (C, R, S) from the triple array's locality statistics: R is
+    the smallest candidate covering the 90th percentile of the u/v index
+    ranges over C-row windows (chunks above it split, which is cheap if
+    rare).  S stays at C (output windows track the sorted target)."""
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    u = acd[1][real].astype(np.int64)
+    v = acd[2][real].astype(np.int64)
+    K = u.shape[0]
+    if K < C:
+        return C, candidates[-1], C
+    spans = []
+    for arr in (u, v):
+        w = np.lib.stride_tricks.sliding_window_view(arr, C)[::C // 2]
+        spans.append(np.percentile(w.max(1) - w.min(1), 90))
+    need = max(spans) + 1
+    for r in candidates:
+        if r >= need:
+            return C, int(r), C
+    return C, int(candidates[-1]), C
