@@ -125,3 +125,32 @@ def test_fused_backward_nonmultiple_bucket(rng):
         ** 2).sum(), (0, 1))(X.values, A.values)
     assert maxdiff(g[0], ref[0]) < 1e-4
     assert maxdiff(g[1], ref[1]) < 1e-4
+
+
+def test_fused_covers_3tuple_contractions(rng):
+    """The fused kernel is index-agnostic: I2GNN's 3-tuple message
+    passing (X___X___2___A___0) routes through it unchanged."""
+    import jax
+
+    from functools import partial
+
+    from pygho_tpu.hodata import Sppretransform, SpDataloader
+    from pygho_tpu.hodata.sp_sampler import I2Sampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+
+    m = make_sp_model("I2GNN", num_layer=1, hiddim=128,
+                      mlp={"norm": "none"})
+    keys = parse_precomputekey(m)
+    datas = [Sppretransform(partial(I2Sampler, hop=2), [""], keys)(g)
+             for g in synthetic_zinc("train", 6)]
+    bf = next(iter(SpDataloader(datas, 6, keys, device_put=False,
+                                prefetch=0, build_plans=True)))
+    bp = next(iter(SpDataloader(datas, 6, keys, device_put=False,
+                                prefetch=0)))
+    m.eval()
+    o1 = np.asarray(m(batch_to_sparse_dict(bf)))
+    o2 = np.asarray(m(batch_to_sparse_dict(bp)))
+    assert maxdiff(o1, o2) < 1e-6
