@@ -208,12 +208,40 @@ def spspmm_ind(
     d = perm2[d_sorted]
     rest1 = np.delete(ind1, dim1, axis=0)
     rest2 = np.delete(ind2, dim2, axis=0)
-    comb = indicehash(np.concatenate([rest1[:, c], rest2[:, d]], axis=0))
-    uh, b = np.unique(comb, return_inverse=True)
-    tar_ind = decodehash(uh, rest1.shape[0] + rest2.shape[0])
+    # pack the per-source partial hashes over the SMALL column sets, then
+    # gather + or — ~10x cheaper than hashing the expanded pair arrays
+    sd = rest1.shape[0] + rest2.shape[0]
+    interval = 63 // sd
+    if rest1.size:
+        assert int(rest1.max()) < (1 << interval) and             int(rest2.max()) < (1 << interval), "index too large for hash"
+    part1 = np.zeros(rest1.shape[1], dtype=np.int64)
+    for i in range(rest1.shape[0]):
+        part1 |= rest1[i] << (interval * (sd - 1 - i))
+    part2 = np.zeros(rest2.shape[1], dtype=np.int64)
+    for i in range(rest2.shape[0]):
+        part2 |= rest2[i] << (interval * (rest2.shape[0] - 1 - i))
+    comb = part1[c] | part2[d]
+    uh, b = _unique_inverse_sorted(comb)
+    tar_ind = decodehash(uh, sd)
     order = np.argsort(b, kind="stable")
     bcd = np.stack([b[order], c[order], d[order]])
     return tar_ind, bcd
+
+
+def _unique_inverse_sorted(x: np.ndarray):
+    """np.unique(x, return_inverse=True) via one argsort + vectorized
+    ranking — several times faster on multi-million-element arrays."""
+    order = np.argsort(x, kind="stable")
+    sx = x[order]
+    if sx.shape[0] == 0:
+        return sx, np.zeros(0, dtype=np.int64)
+    flags = np.empty(sx.shape[0], dtype=bool)
+    flags[0] = True
+    np.not_equal(sx[1:], sx[:-1], out=flags[1:])
+    ranks = np.cumsum(flags) - 1
+    inv = np.empty_like(ranks)
+    inv[order] = ranks
+    return sx[flags], inv
 
 
 def spsphadamard_ind(tar_ind: np.ndarray, ind: np.ndarray) -> np.ndarray:

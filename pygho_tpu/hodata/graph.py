@@ -49,3 +49,28 @@ class Graph:
         return ssp.coo_matrix(
             (np.ones(m), (self.edge_index[0], self.edge_index[1])),
             shape=(self.num_nodes, self.num_nodes)).tocsr()
+
+
+def rcm_reorder(graph: "Graph") -> "Graph":
+    """Relabel nodes by reverse Cuthill-McKee order.
+
+    Windowed kernels (pygho_tpu.kernels) and the tuple-parallel boundary
+    exchange both profit from index locality: RCM minimizes adjacency
+    bandwidth so a tuple's neighborhood rows live in a narrow window.
+    Apply at preprocessing time for large single graphs; molecule-scale
+    batches already have block-diagonal locality.  (Expander-like graphs
+    have no low-bandwidth order — the loader's fragmentation guard then
+    keeps those on the XLA path.)
+    """
+    import scipy.sparse as ssp
+
+    perm = ssp.csgraph.reverse_cuthill_mckee(graph.to_scipy_csr(),
+                                             symmetric_mode=True)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(graph.num_nodes)
+    ei = inv[graph.edge_index]
+    import dataclasses
+
+    return dataclasses.replace(
+        graph, x=graph.x[perm], edge_index=ei,
+        edge_attr=graph.edge_attr)

@@ -189,6 +189,15 @@ class SpDataloader(_BaseLoader):
                 C, R, S = geom or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
             plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
                                        rows_of(op0), C, R, S)
+            # fragmentation guard: if the triples have no window locality
+            # (expander-like graphs), tiny chunks make the fused kernel
+            # slower than XLA — skip the plan and let the operator fall
+            # back (consider hodata.graph.rcm_reorder at preprocessing)
+            import numpy as _np
+
+            k_real = int(_np.sum(_np.asarray(acd[0]) < (1 << 30)))
+            if plans[0].n_chunks * 32 > max(k_real, 1):
+                continue
             # stabilize chunk counts across batches
             n = max(p.n_chunks for p in plans)
             pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
