@@ -66,11 +66,21 @@ def get_fused_math() -> bool:
 
 @dataclasses.dataclass(frozen=True)
 class ChunkPlan:
-    """Host-built execution plan for one fused contraction."""
+    """Host-built execution plan for one fused contraction.
+
+    ``uslot/vslot`` assign each chunk's operand window to one of two VMEM
+    buffers and ``udma/vdma`` flag whether a fresh DMA is needed —
+    consecutive chunks over the same window (common: a graph's tuples
+    span several chunks) reuse the resident buffer instead of re-reading
+    HBM."""
     tuv_local: jax.Array   # i32[n_chunks, 3, C] window-local (t, u, v)
     ubase: jax.Array       # i32[n_chunks] U window start row (element units)
     vbase: jax.Array       # i32[n_chunks] V window start row
     oblk: jax.Array        # i32[n_chunks] output block index (S units)
+    uslot: jax.Array       # i32[n_chunks] buffer slot for the U window
+    vslot: jax.Array
+    udma: jax.Array        # i32[n_chunks] 1 = DMA the window for this chunk
+    vdma: jax.Array
     C: int
     R: int
     S: int
@@ -83,9 +93,25 @@ class ChunkPlan:
         return self.tuv_local.shape[0]
 
 
+def _slots_and_dmas(bases: np.ndarray):
+    """Alternate buffer slots on window changes; skip DMAs on repeats."""
+    n = bases.shape[0]
+    slots = np.zeros(n, np.int32)
+    dmas = np.zeros(n, np.int32)
+    slot = 0
+    for i in range(n):
+        if i == 0 or bases[i] != bases[i - 1]:
+            if i > 0:
+                slot = 1 - slot
+            dmas[i] = 1
+        slots[i] = slot
+    return slots, dmas
+
+
 jax.tree_util.register_dataclass(
     ChunkPlan,
-    data_fields=["tuv_local", "ubase", "vbase", "oblk"],
+    data_fields=["tuv_local", "ubase", "vbase", "oblk", "uslot", "vslot",
+                 "udma", "vdma"],
     meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows"],
 )
 
@@ -120,12 +146,19 @@ def build_chunk_plan(
 
     from .. import native as _native
 
+    # Opportunistic base quantization: when a chunk's index range leaves
+    # slack, snap the window base down to a coarse grid — nearby chunks
+    # then share bases exactly and the kernel skips their window DMAs.
+    # Chunking itself keeps the full R range (no extra fragmentation).
+    Q = max(R // 4, 8)
+    Reff = R
+
     host = _native.get()
     chunks = []  # (start, end, ubase, vbase, oblk)
     if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn"):
         starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn(
             np.ascontiguousarray(t), np.ascontiguousarray(u),
-            np.ascontiguousarray(v), C, R, S)
+            np.ascontiguousarray(v), C, Reff, S)
         chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
                           vbs.tolist(), obs.tolist()))
     else:
@@ -137,7 +170,7 @@ def build_chunk_plan(
             umax = np.maximum.accumulate(u[sl])
             vmin = np.minimum.accumulate(v[sl])
             vmax = np.maximum.accumulate(v[sl])
-            ok = ((umax - umin < R) & (vmax - vmin < R)
+            ok = ((umax - umin < Reff) & (vmax - vmin < Reff)
                   & (t[sl] // S == t[start] // S))
             bad = np.nonzero(~ok)[0]
             end = start + (int(bad[0]) if len(bad) else (end_max - start))
@@ -146,8 +179,16 @@ def build_chunk_plan(
                            int(u[start:end].min()), int(v[start:end].min()),
                            int(t[start] // S)))
             start = end
-    # clamp window bases so base + R <= rows
-    chunks = [(s0, e0, min(ub, u_rows - R), min(vb, v_rows - R), ob)
+    # snap each base to the Q grid when the range still fits in R
+    def snap(lo_, hi_, rows):
+        q = (lo_ // Q) * Q
+        base = q if hi_ - q < R else lo_
+        return min(base, rows - R)
+
+    chunks = [(s0, e0,
+               snap(ub, int(u[s0:e0].max()) if e0 > s0 else ub, u_rows),
+               snap(vb, int(v[s0:e0].max()) if e0 > s0 else vb, v_rows),
+               ob)
               for (s0, e0, ub, vb, ob) in chunks]
 
     # insert zero-work chunks for untouched output blocks, in oblk order
@@ -190,10 +231,13 @@ def build_chunk_plan(
         tuv_local[cid, 0, pos] = (t[row] - ca[cid, 4] * S).astype(np.int32)
         tuv_local[cid, 1, pos] = (u[row] - ca[cid, 2]).astype(np.int32)
         tuv_local[cid, 2, pos] = (v[row] - ca[cid, 3]).astype(np.int32)
+    uslot, udma = _slots_and_dmas(ubase)
+    vslot, vdma = _slots_and_dmas(vbase)
     # keep numpy: device transfer happens in one bulk device_put with the
     # rest of the batch (per-array transfers are RTT-bound on remote TPUs)
     return ChunkPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
+        uslot=uslot, vslot=vslot, udma=udma, vdma=vdma,
         C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows)
 
 
@@ -217,37 +261,44 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, u_hbm, v_hbm,
+    def kernel(ubase_ref, vbase_ref, oblk_ref, uslot_ref, vslot_ref,
+               udma_ref, vdma_ref, tuv_ref, u_hbm, v_hbm,
                o_ref, ubuf, vbuf, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
-        def dmas(slot, chunk):
-            cu = pltpu.make_async_copy(
-                u_hbm.at[pl.ds(ubase_ref[chunk], R)], ubuf.at[slot],
-                sems.at[slot, 0])
-            cv = pltpu.make_async_copy(
-                v_hbm.at[pl.ds(vbase_ref[chunk], R)], vbuf.at[slot],
-                sems.at[slot, 1])
-            return cu, cv
+        def u_copy(chunk):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(ubase_ref[chunk], R)],
+                ubuf.at[uslot_ref[chunk]], sems.at[uslot_ref[chunk], 0])
+
+        def v_copy(chunk):
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(vbase_ref[chunk], R)],
+                vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
 
         @pl.when(i == 0)
         def _():
-            cu, cv = dmas(0, 0)
-            cu.start()
-            cv.start()
+            u_copy(0).start()
+            v_copy(0).start()
 
-        @pl.when(i + 1 < n)
+        # prefetch chunk i+1's windows only when they change
+        @pl.when(jnp.logical_and(i + 1 < n, udma_ref[jnp.minimum(i + 1, n - 1)] == 1))
         def _():
-            cu, cv = dmas((i + 1) % 2, i + 1)
-            cu.start()
-            cv.start()
+            u_copy(i + 1).start()
 
-        cu, cv = dmas(i % 2, i)
-        cu.wait()
-        cv.wait()
+        @pl.when(jnp.logical_and(i + 1 < n, vdma_ref[jnp.minimum(i + 1, n - 1)] == 1))
+        def _():
+            v_copy(i + 1).start()
 
-        slot = i % 2
+        # wait exactly for DMAs that were issued for THIS chunk
+        @pl.when(udma_ref[i] == 1)
+        def _():
+            u_copy(i).wait()
+
+        @pl.when(vdma_ref[i] == 1)
+        def _():
+            v_copy(i).wait()
         t_loc = tuv_ref[0, 0, :]
         u_loc = tuv_ref[0, 1, :]
         v_loc = tuv_ref[0, 2, :]
@@ -258,8 +309,8 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool):
         onehot_v = jnp.where(v_loc[:, None] == iota_R,
                              1.0, 0.0).astype(jnp.bfloat16)
 
-        uw = ubuf[slot]
-        vw = vbuf[slot]
+        uw = ubuf[uslot_ref[i]]
+        vw = vbuf[vslot_ref[i]]
 
         def gathered(onehot, w):
             if exact:
@@ -321,14 +372,16 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
     n_chunks = plan.n_chunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=7,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 3, C), lambda i, ub, vb, ob: (i, 0, 0)),
+            pl.BlockSpec((1, 3, C),
+                         lambda i, *refs: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((S, D), lambda i, ub, vb, ob: (ob[i], 0)),
+        out_specs=pl.BlockSpec((S, D),
+                               lambda i, ub, vb, ob, *refs: (ob[i], 0)),
         scratch_shapes=[
             pltpu.VMEM((2, R, D), U.dtype),
             pltpu.VMEM((2, R, D), V.dtype),
@@ -346,7 +399,8 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
             bytes_accessed=n_chunks * (2 * R + S) * D * 4,
             transcendentals=0),
         interpret=interpret,
-    )(plan.ubase, plan.vbase, plan.oblk, plan.tuv_local, U, V)
+    )(plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
+      plan.udma, plan.vdma, plan.tuv_local, U, V)
     return out
 
 
