@@ -30,6 +30,10 @@ parser.add_argument("--bs", type=int, default=32)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--lr", type=float, default=2e-3)
 parser.add_argument("--norm", choices=["bn", "ln", "none"], default="bn")
+parser.add_argument("--recalibrate_bn", action="store_true",
+                    help="re-estimate batchnorm running stats over the "
+                         "training batches before each eval (fixes "
+                         "eval-mode staleness on tiny margins)")
 parser.add_argument("--eval_train_mode", action="store_true",
                     help="evaluate with batch statistics (transductive "
                          "full-batch tasks like sr25, where eval-mode "
@@ -99,6 +103,14 @@ for epoch in range(1, args.epochs + 1):
     t0 = time.time()
     model.train()
     losses = [float(train_step(model, opt, b)) for b in trn]
+    if args.recalibrate_bn:
+        from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+        from pygho_tpu.honn.utils import recalibrate_batchnorm
+
+        model.train()
+        recalibrate_batchnorm(
+            model, list(trn),
+            lambda m, b: m(batch_to_sparse_dict(b)))
     if args.eval_train_mode:
         model.train()
     else:

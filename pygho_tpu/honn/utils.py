@@ -209,3 +209,35 @@ class NormMomentumScheduler:
             if type(mod) is self.normtype:
                 mod.momentum = curm
         return curm
+
+
+def recalibrate_batchnorm(model, batches, forward, reset: bool = True):
+    """Re-estimate BatchNorm running statistics by averaging batch stats
+    over ``batches`` (the standard post-training BN re-estimation).
+
+    ``forward(model, batch)`` must run the model's forward in train mode.
+    Cures eval-mode brittleness when training stats lag rapidly-changing
+    weights (e.g. tiny transductive sets — see example sr25 notes).
+    """
+    import numpy as np
+
+    from flax import nnx
+
+    bns = [mod for _, mod in nnx.iter_graph(model)
+           if isinstance(mod, BatchNorm)]
+    saved = [(bn.momentum, bn.use_running_average) for bn in bns]
+    if reset:
+        for bn in bns:
+            bn.mean[...] = jnp.zeros_like(bn.mean[...])
+            bn.var[...] = jnp.zeros_like(bn.var[...])
+    n = 0
+    for batch in batches:
+        n += 1
+        for bn in bns:
+            bn.momentum = 1.0 / n   # running average over batches
+            bn.use_running_average = False
+        forward(model, batch)
+    for bn, (m, ura) in zip(bns, saved):
+        bn.momentum = m
+        bn.use_running_average = ura
+    return n

@@ -64,3 +64,21 @@ def test_nan_guard():
 def test_check_determinism():
     assert check_determinism(jax.jit(lambda x: (x @ x).sum()),
                              jnp.ones((16, 16)))
+
+
+def test_batchnorm_recalibration():
+    """Running stats re-estimated over batches equal the batch stats for
+    a single repeated batch -> eval == train mode."""
+    import jax.numpy as jnp
+
+    from pygho_tpu.honn.utils import BatchNorm, recalibrate_batchnorm
+
+    bn = BatchNorm(4, normparam=0.1, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 4))
+                    .astype(np.float32))
+    train_out = bn(x)          # uses batch stats; running stats lag
+    wrap = nnx.Dict(bn=bn)     # recalibrate walks a module tree
+    recalibrate_batchnorm(wrap, [x], lambda m, b: m["bn"](b))
+    bn.use_running_average = True
+    eval_out = bn(x)
+    assert np.abs(np.asarray(train_out) - np.asarray(eval_out)).max() < 1e-5
