@@ -98,19 +98,25 @@ else:
     train_step, eval_step = make_sparse_steps()
 metrics = MetricsLogger(f"runs/expr_{args.dataset}_{args.conv}.jsonl")
 
+if args.recalibrate_bn:
+    from flax import nnx as _nnx
+
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict as _b2s
+
+    @_nnx.jit
+    def _recal_fwd(m, b):
+        return m(_b2s(b))
+
 best = 0.0 if task == "cls" else float("inf")
 for epoch in range(1, args.epochs + 1):
     t0 = time.time()
     model.train()
     losses = [float(train_step(model, opt, b)) for b in trn]
     if args.recalibrate_bn:
-        from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
         from pygho_tpu.honn.utils import recalibrate_batchnorm
 
         model.train()
-        recalibrate_batchnorm(
-            model, list(trn),
-            lambda m, b: m(batch_to_sparse_dict(b)))
+        recalibrate_batchnorm(model, list(trn), _recal_fwd)
     if args.eval_train_mode:
         model.train()
     else:

@@ -211,13 +211,15 @@ class NormMomentumScheduler:
         return curm
 
 
-def recalibrate_batchnorm(model, batches, forward, reset: bool = True):
+def recalibrate_batchnorm(model, batches, forward):
     """Re-estimate BatchNorm running statistics by averaging batch stats
     over ``batches`` (the standard post-training BN re-estimation).
 
-    ``forward(model, batch)`` must run the model's forward in train mode.
-    Cures eval-mode brittleness when training stats lag rapidly-changing
-    weights (e.g. tiny transductive sets — see example sr25 notes).
+    ``forward(model, batch)`` runs the model's forward; it may be
+    nnx.jit'd — the module attributes change exactly once before the
+    sweep and once after, so at most two traces.  Cures eval-mode
+    brittleness when training stats lag rapidly-changing weights
+    (e.g. tiny transductive sets — see the sr25 example notes).
     """
     import numpy as np
 
@@ -226,17 +228,25 @@ def recalibrate_batchnorm(model, batches, forward, reset: bool = True):
     bns = [mod for _, mod in nnx.iter_graph(model)
            if isinstance(mod, BatchNorm)]
     saved = [(bn.momentum, bn.use_running_average) for bn in bns]
-    if reset:
-        for bn in bns:
-            bn.mean[...] = jnp.zeros_like(bn.mean[...])
-            bn.var[...] = jnp.zeros_like(bn.var[...])
+    for bn in bns:
+        bn.momentum = 1.0          # running stats := this batch's stats
+        bn.use_running_average = False
+    sums = None
     n = 0
     for batch in batches:
-        n += 1
-        for bn in bns:
-            bn.momentum = 1.0 / n   # running average over batches
-            bn.use_running_average = False
         forward(model, batch)
+        stats = [(np.asarray(bn.mean[...]), np.asarray(bn.var[...]))
+                 for bn in bns]
+        if sums is None:
+            sums = [(m.copy(), v.copy()) for m, v in stats]
+        else:
+            sums = [(sm + m, sv + v)
+                    for (sm, sv), (m, v) in zip(sums, stats)]
+        n += 1
+    if n:
+        for bn, (sm, sv) in zip(bns, sums):
+            bn.mean[...] = jnp.asarray(sm / n)
+            bn.var[...] = jnp.asarray(sv / n)
     for bn, (m, ura) in zip(bns, saved):
         bn.momentum = m
         bn.use_running_average = ura
