@@ -143,13 +143,16 @@ class SpModel(nnx.Module):
                  npool: str = "sum", lpool: str = "mean",
                  cpool: str = "mean", residual: bool = True,
                  outlayer: int = 2, mlp: Optional[dict] = None,
-                 dtype=None, *, rngs: nnx.Rngs):
+                 dtype=None, remat: bool = False, *, rngs: nnx.Rngs):
         mlp = dict(mlp or {})
         mlp.setdefault("numlayer", 1)
         mlp.setdefault("tailact", True)
         if dtype is not None:   # mixed precision: bf16 compute, f32 params
             mlp.setdefault("dtype", dtype)
         self.dtype = dtype
+        # rematerialize layer activations in the backward pass: trades
+        # recompute for HBM traffic/footprint (the step is traffic-bound)
+        self.remat = remat
         self.conv_name = conv
         self.is3d = conv == "I2GNN"
         self.hiddim = hiddim
@@ -211,7 +214,11 @@ class SpModel(nnx.Module):
             X = _dc.replace(X, values=X.values.astype(self.dtype))
         X = self.tupleinit(X, x)
         for conv in self.subggnns:
-            tX = conv(A, X, datadict)
+            if self.remat:
+                tX = nnx.remat(
+                    lambda c, A, X, dd: c(A, X, dd))(conv, A, X, datadict)
+            else:
+                tX = conv(A, X, datadict)
             X = X.add(tX, True) if self.residual else tX
         if self.is3d:
             X2 = self.lpool3(X, datadict)
