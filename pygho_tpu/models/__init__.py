@@ -2,10 +2,12 @@
 classification (reference example/minimal.py + example/zinc.py models)."""
 
 from .zinc import (InputEncoderSp, InputEncoderMa, InputEncoderI2,
-                   SpModel, MaModel, make_sp_model, make_ma_model)
+                   SpModel, MaModel, make_sp_model, make_ma_model,
+                   make_model_from_config)
 from . import training
 
 __all__ = [
     "InputEncoderSp", "InputEncoderMa", "InputEncoderI2",
-    "SpModel", "MaModel", "make_sp_model", "make_ma_model", "training",
+    "SpModel", "MaModel", "make_sp_model", "make_ma_model",
+    "make_model_from_config", "training",
 ]

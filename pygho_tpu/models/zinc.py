@@ -297,3 +297,17 @@ def make_sp_model(conv: str = "NGNN", seed: int = 0, **kw) -> SpModel:
 
 def make_ma_model(conv: str = "NGNN", seed: int = 0, **kw) -> MaModel:
     return MaModel(conv, rngs=nnx.Rngs(seed), **kw)
+
+
+def make_model_from_config(cfg, seed: int = 0):
+    """Build the model described by a utils.config.ExperimentConfig (or
+    ModelConfig) — the typed equivalent of the reference's argparse
+    surface (example/zinc.py:306-308)."""
+    mc = getattr(cfg, "model", cfg)
+    kw = dict(num_tasks=mc.num_tasks, num_layer=mc.num_layer,
+              hiddim=mc.hiddim, npool=mc.npool, lpool=mc.lpool,
+              cpool=mc.cpool, residual=mc.residual, outlayer=mc.outlayer,
+              mlp=mc.mlp_dict(), seed=seed)
+    if mc.sparse:
+        return make_sp_model(mc.conv, aggr=mc.aggr, **kw)
+    return make_ma_model(mc.conv, aggr=mc.aggr, **kw)

@@ -82,3 +82,16 @@ def test_batchnorm_recalibration():
     bn.use_running_average = True
     eval_out = bn(x)
     assert np.abs(np.asarray(train_out) - np.asarray(eval_out)).max() < 1e-5
+
+
+def test_model_from_config():
+    from pygho_tpu.models import make_model_from_config
+    from pygho_tpu.honn import parse_precomputekey
+
+    cfg = ExperimentConfig(model=ModelConfig(conv="SSWL", hiddim=16,
+                                             num_layer=2, norm="ln"))
+    m = make_model_from_config(cfg)
+    assert len(parse_precomputekey(m)) == 2
+    cfg2 = ModelConfig(conv="PPGN", sparse=False, hiddim=16, num_layer=1)
+    m2 = make_model_from_config(cfg2)
+    assert m2 is not None
