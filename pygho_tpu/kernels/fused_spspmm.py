@@ -191,7 +191,9 @@ def build_chunk_plan(
                ob)
               for (s0, e0, ub, vb, ob) in chunks]
 
-    # insert zero-work chunks for untouched output blocks, in oblk order
+    # insert zero-work chunks for untouched output blocks, in oblk order;
+    # they inherit the previous chunk's window bases (their compute is
+    # all-zero regardless) so DMA-reuse runs are not broken
     touched = set(c[4] for c in chunks)
     n_oblk = out_rows // S
     all_chunks = []
@@ -201,15 +203,17 @@ def build_chunk_plan(
             all_chunks.append(chunks[ci])
             ci += 1
         if ob not in touched:
-            all_chunks.append((0, 0, 0, 0, ob))
+            pu, pv = (all_chunks[-1][2], all_chunks[-1][3])                 if all_chunks else (0, 0)
+            all_chunks.append((0, 0, pu, pv, ob))
     assert ci == len(chunks)
 
     if pad_chunks_to is not None:
         assert pad_chunks_to >= len(all_chunks), (pad_chunks_to,
                                                   len(all_chunks))
-        last_ob = all_chunks[-1][4] if all_chunks else 0
+        lu, lv, last_ob = ((all_chunks[-1][2], all_chunks[-1][3],
+                            all_chunks[-1][4]) if all_chunks else (0, 0, 0))
         while len(all_chunks) < pad_chunks_to:
-            all_chunks.append((0, 0, 0, 0, last_ob))
+            all_chunks.append((0, 0, lu, lv, last_ob))
 
     n = len(all_chunks)
     ca = np.asarray(all_chunks, dtype=np.int64).reshape(n, 5)

@@ -33,6 +33,10 @@ def collate_sharded_sparse(
     axis.  Shared ``buckets`` force identical padded shapes across the
     shards (a requirement for stacking and for stable jit shapes)."""
     buckets = buckets if buckets is not None else {}
+    assert len(datas) <= num_devices * per_device_graphs, (
+        f"{len(datas)} graphs exceed num_devices*per_device_graphs="
+        f"{num_devices * per_device_graphs}; the excess would be "
+        f"silently dropped")
     chunks = []
     for d in range(num_devices):
         chunk = datas[d * per_device_graphs:(d + 1) * per_device_graphs]
@@ -66,6 +70,16 @@ def collate_sharded_sparse(
     return out
 
 
+def _take_shard(x):
+    """Drop the leading device axis of a shard — and fail loudly if the
+    mesh axis didn't fully shard it (e.g. a batch stacked for 8 devices
+    fed to a 4-wide dp axis would silently drop data)."""
+    assert x.shape[0] == 1, (
+        f"per-device shard has leading dim {x.shape[0]}, expected 1 — "
+        f"batch device count must equal the dp axis size")
+    return x[0]
+
+
 def _pmean_stats(model: nnx.Module, axis: str):
     """pmean batch-norm running statistics across the dp axis so all
     replicas hold identical state."""
@@ -90,7 +104,7 @@ def make_dp_train_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
     """
 
     def device_body(state, batch):
-        batch = jax.tree.map(lambda x: x[0], batch)  # drop leading axis
+        batch = jax.tree.map(_take_shard, batch)
         model, optimizer = nnx.merge(graphdef, state)
 
         def loss_fn(model):
@@ -120,8 +134,9 @@ def make_dp_train_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
 def make_dp_eval_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
                       axis: str = "dp"):
     def device_body(state, batch):
-        batch = jax.tree.map(lambda x: x[0], batch)
+        batch = jax.tree.map(_take_shard, batch)
         model, _ = nnx.merge(graphdef, state)
+        model.eval()   # eval semantics regardless of the captured graphdef
         dd = batch_to_sparse_dict(batch, annotate)
         pred = model(dd)
         y = batch["y"].reshape(pred.shape)

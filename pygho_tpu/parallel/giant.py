@@ -11,7 +11,7 @@ with X values row-block-sharded over the "sp" mesh axis end to end:
 - the readout pools the sharded tuple rows to their root nodes with a
   local segment-reduce followed by a psum (roots' tuples can span
   shards);
-- gradients of the replicated parameters are psum'd over the axis.
+- gradients of the replicated parameters are pmean'd over the axis.
 
 Everything data-dependent (the per-layer OverlappedShardPlan, the
 root-pooling segment ids) is host-precomputed, as everywhere else in the
@@ -31,7 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..backend.indexing import PAD_INDEX
 from ..backend.segment import segment_reduce
-from .tuple_parallel import OverlappedShardPlan, build_overlapped_shard_plan
+from .tuple_parallel import (OverlappedShardPlan, _overlapped_contract,
+                             build_overlapped_shard_plan)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,12 +81,16 @@ def init_giant_params(num_layer: int, d: int, seed: int = 0) -> Dict:
 
 def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
                           num_layer: int, lr: float = 1e-3,
-                          axis: str = "sp"):
+                          axis: str = "sp",
+                          n_real: Optional[int] = None):
     """Build (loss_fn, sgd_step) for the sharded NGNN stack.
 
     Both are jitted; inputs: params (replicated), Xv (nnz_pad, D) sharded
     by row blocks, Av (edge values, replicated), y (n_nodes,) node-level
-    regression targets (replicated).
+    regression targets (replicated).  If plan.n_nodes includes padded
+    node rows, pass the real node count as n_real so the MSE averages
+    over real nodes only (pad rows would otherwise contribute constant
+    (bias - y_pad)^2 terms that bias the readout).
     """
     c = plan.contraction
 
@@ -93,20 +98,11 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
         Xb = Xblk[0]                                    # (B, D)
         for lay in params["layers"]:
             h = jax.nn.relu(Xb @ lay["w"] + lay["b"])   # local MLP rows
-            # overlapped contraction: boundary exchange of the POST-MLP
-            # values runs while local triples reduce
-            pool = jax.lax.all_gather(h[send_l[0]], axis)
-            l = loc[0]
-            av = h[jnp.minimum(l[:, 1], h.shape[0] - 1)]
-            bv = Av[jnp.minimum(l[:, 2], Av.shape[0] - 1)]
-            out = segment_reduce(av * bv, l[:, 0], plan.B, "sum",
-                                 indices_are_sorted=True)
-            flat = pool.reshape(-1, h.shape[-1])
-            b = bnd[0]
-            avb = flat[jnp.minimum(b[:, 1], flat.shape[0] - 1)]
-            bvb = Av[jnp.minimum(b[:, 2], Av.shape[0] - 1)]
-            out = out + segment_reduce(avb * bvb, b[:, 0], plan.B, "sum",
-                                       indices_are_sorted=True)
+            # overlapped contraction of the POST-MLP values: the shared
+            # body starts the boundary all_gather, then reduces local
+            # triples under it (tuple_parallel._overlapped_contract)
+            out = _overlapped_contract(h, Av, loc[0], bnd[0], send_l[0],
+                                       plan.B, axis)
             Xb = Xb + out                               # residual
         # root pooling: local partial sums + psum (roots span shards)
         node_h = segment_reduce(Xb, roots[0], plan.n_nodes, "sum",
@@ -117,7 +113,11 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
 
     def device_loss(params, Xblk, Av, loc, bnd, send_l, roots, y):
         pred = device_forward(params, Xblk, Av, loc, bnd, send_l, roots)
-        return jnp.mean((pred - y) ** 2)
+        se = (pred - y) ** 2
+        if n_real is not None and n_real < plan.n_nodes:
+            mask = jnp.arange(plan.n_nodes) < n_real
+            return jnp.sum(jnp.where(mask, se, 0.0)) / n_real
+        return jnp.mean(se)
 
     def sharded(fn):
         return jax.shard_map(

@@ -77,7 +77,10 @@ def spspmm_tuple_parallel(
         segfn = jax.ops.segment_max if aggr == "max" else jax.ops.segment_min
         partial = segfn(av * bv, acd[0], nnz_pad, indices_are_sorted=True)
         out = (jax.lax.pmax if aggr == "max" else jax.lax.pmin)(partial, axis)
-        return jnp.where(jnp.isinf(out), jnp.zeros_like(out), out)
+        # only the op's own identity marks empty segments (matching
+        # backend.segment.segment_reduce): -inf is a legitimate minimum
+        empty = jnp.isneginf(out) if aggr == "max" else jnp.isposinf(out)
+        return jnp.where(empty, jnp.zeros_like(out), out)
     raise ValueError(aggr)
 
 
@@ -117,6 +120,62 @@ import dataclasses
 import numpy as np
 
 from ..backend.indexing import PAD_INDEX
+
+
+def _boundary_pool(c, owner, slabs, B, P):
+    """Per-source-block boundary row sets + vectorized position lookup.
+
+    Returns (send_idx (P, Bnd), Bnd, remap(cs) -> pool positions) where
+    remap maps absolute row ids to B + q*Bnd + pos via searchsorted over
+    the sorted per-block boundary lists (no Python-level dict loops)."""
+    bnd_lists = []
+    for q in range(P):
+        rows = []
+        bnd_lists.append(rows)
+    # rows of block q needed by any OTHER owner
+    c_owner = np.minimum(c // B, P - 1)
+    for p in range(P):
+        cs = c[slabs[p]]
+        co = c_owner[slabs[p]]
+        remote = cs[co != p]
+        ro = co[co != p]
+        for q in np.unique(ro):
+            q = int(q)
+            bnd_lists[q].extend((remote[ro == q] - q * B).tolist())
+    bnd_sorted = [np.unique(np.asarray(b, dtype=np.int64))
+                  for b in bnd_lists]
+    Bnd = max(max((len(b) for b in bnd_sorted), default=1), 1)
+    send_idx = np.zeros((P, Bnd), np.int32)
+    for q, rows in enumerate(bnd_sorted):
+        send_idx[q, : len(rows)] = rows
+
+    def remap(cs: np.ndarray) -> np.ndarray:
+        q = np.minimum(cs // B, P - 1)
+        local = cs - q * B
+        pos = np.empty(cs.shape[0], np.int64)
+        for qq in range(P):
+            m = q == qq
+            if m.any():
+                pos[m] = np.searchsorted(bnd_sorted[qq], local[m])
+        return q * Bnd + pos
+
+    return send_idx, Bnd, remap
+
+
+def _overlapped_contract(h, Av, loc, bnd, send_row, B, axis):
+    """Shared shard-level body of the overlapped boundary-exchange
+    contraction: all_gather the boundary pool (async, overlaps with the
+    local reduction below), local triples, then boundary triples."""
+    pool = jax.lax.all_gather(h[send_row], axis)       # (P, Bnd, D)
+    av = h[jnp.minimum(loc[:, 1], h.shape[0] - 1)]
+    bv = Av[jnp.minimum(loc[:, 2], Av.shape[0] - 1)]
+    out = segment_reduce(av * bv, loc[:, 0], B, "sum",
+                         indices_are_sorted=True)
+    flat = pool.reshape(-1, h.shape[-1])
+    avb = flat[jnp.minimum(bnd[:, 1], flat.shape[0] - 1)]
+    bvb = Av[jnp.minimum(bnd[:, 2], Av.shape[0] - 1)]
+    return out + segment_reduce(avb * bvb, bnd[:, 0], B, "sum",
+                                indices_are_sorted=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -280,20 +339,8 @@ def build_overlapped_shard_plan(acd: np.ndarray, nnz_pad: int,
     c_owner = np.minimum(c // B, P - 1)
     is_local = c_owner == owner
 
-    # boundary pools (as in build_tuple_shard_plan)
-    bnd_sets = [set() for _ in range(P)]
-    for p in range(P):
-        sel = (owner == p) & ~is_local
-        for cq, q in zip(c[sel], c_owner[sel]):
-            bnd_sets[int(q)].add(int(cq - q * B))
-    bnd_lists = [sorted(s) for s in bnd_sets]
-    Bnd = max(max((len(b) for b in bnd_lists), default=1), 1)
-    send_idx = np.zeros((P, Bnd), np.int32)
-    lookup = {}
-    for q, rows in enumerate(bnd_lists):
-        for pos, r in enumerate(rows):
-            send_idx[q, pos] = r
-            lookup[(q, r)] = q * Bnd + pos
+    slabs = [np.nonzero(owner == p)[0] for p in range(P)]
+    send_idx, Bnd, remap = _boundary_pool(c, owner, slabs, B, P)
 
     Kl = max(int(max((np.sum((owner == p) & is_local) for p in range(P)),
                      default=1)), 1)
@@ -309,12 +356,11 @@ def build_overlapped_shard_plan(acd: np.ndarray, nnz_pad: int,
         acd_loc[p, :len(sel_l), 1] = c[sel_l] - p * B
         acd_loc[p, :len(sel_l), 2] = d[sel_l]
         sel_b = np.nonzero((owner == p) & ~is_local)[0]
-        acd_bnd[p, :len(sel_b), 0] = a[sel_b] - p * B
-        acd_bnd[p, :len(sel_b), 1] = np.asarray(
-            [lookup[(int(min(cc // B, P - 1)),
-                     int(cc - min(cc // B, P - 1) * B))]
-             for cc in c[sel_b]], np.int64)
-        acd_bnd[p, :len(sel_b), 2] = d[sel_b]
+        if len(sel_b):
+            acd_bnd[p, :len(sel_b), 0] = a[sel_b] - p * B
+            # position in the flattened (P*Bnd, D) gathered pool
+            acd_bnd[p, :len(sel_b), 1] = remap(c[sel_b])
+            acd_bnd[p, :len(sel_b), 2] = d[sel_b]
     return OverlappedShardPlan(
         acd_loc=jnp.asarray(acd_loc), acd_bnd=jnp.asarray(acd_bnd),
         send_idx=jnp.asarray(send_idx), P=P, B=B, Bnd=Bnd)
@@ -327,21 +373,8 @@ def make_overlapped_spspmm(mesh: Mesh, plan: OverlappedShardPlan,
 
     def body(Xblk, Av, loc, bnd, send_l):
         Xb = Xblk[0]
-        # start the boundary exchange; the local contraction below has no
-        # data dependency on it, so XLA schedules them concurrently
-        pool = jax.lax.all_gather(Xb[send_l[0]], axis)     # (P, Bnd, D)
-        l = loc[0]
-        av = Xb[jnp.minimum(l[:, 1], Xb.shape[0] - 1)]
-        bv = Av[jnp.minimum(l[:, 2], Av.shape[0] - 1)]
-        out = segment_reduce(av * bv, l[:, 0], plan.B, "sum",
-                             indices_are_sorted=True)
-        # boundary contributions from the gathered pool
-        flat = pool.reshape(-1, Xb.shape[-1])
-        b = bnd[0]
-        avb = flat[jnp.minimum(b[:, 1], flat.shape[0] - 1)]
-        bvb = Av[jnp.minimum(b[:, 2], Av.shape[0] - 1)]
-        out = out + segment_reduce(avb * bvb, b[:, 0], plan.B, "sum",
-                                   indices_are_sorted=True)
+        out = _overlapped_contract(Xb, Av, loc[0], bnd[0], send_l[0],
+                                   plan.B, axis)
         return out[None]
 
     def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
