@@ -116,17 +116,27 @@ def main():
         f"G rows/s (roofline {roofline_rows / 1e9:.3f}; rtt "
         f"{base_rtt * 1e3:.0f} ms)")
 
-    # ---- fused Pallas kernel (exact f32 + fast bf16) --------------------
-    from pygho_tpu.kernels import build_spspmm_plans
+    # ---- fused Pallas kernel (exact f32 + fast bf16), geometry from the
+    # roofline autotuner (the loader's plan_geometry="autotune" path) ----
+    from pygho_tpu.kernels import (build_spspmm_plans_for,
+                                   autotune_spspmm_geoms)
     from pygho_tpu.kernels.fused_spspmm import fused_contract, _pad_rows
 
-    fwd_plan, _, _ = build_spspmm_plans(
-        np.asarray(acd), nnz_pad, batch["edge_index"].shape[1], nnz_pad)
-    Xp0 = _pad_rows(vals, fwd_plan.u_rows)
-    Ap0 = _pad_rows(jnp.ones((batch["edge_index"].shape[1], D),
-                             jnp.float32), fwd_plan.v_rows)
+    e_rows = batch["edge_index"].shape[1]
     fused = {}
+    plans_by_mode = {}
     for exact in (True, False):
+        geoms = autotune_spspmm_geoms(np.asarray(acd), nnz_pad, e_rows,
+                                      nnz_pad, D=D, exact=exact)
+        plans_by_mode[exact] = build_spspmm_plans_for(
+            np.asarray(acd), nnz_pad, e_rows, nnz_pad, geoms)
+        log(f"geometry ({'exact' if exact else 'fast'}): {geoms}")
+    for exact in (True, False):
+        fwd_plan = plans_by_mode[exact][0]
+        Xp0 = _pad_rows(vals, fwd_plan.u_rows)
+        Ap0 = _pad_rows(jnp.ones((e_rows, D), jnp.float32),
+                        fwd_plan.v_rows)
+
         @jax.jit
         def floop(Xp, Ap, fwd=fwd_plan, exact=exact):
             def body(i, Xc):
@@ -201,7 +211,8 @@ def main():
 
     set_fused_math(False)
     dlf = SpDataloader(datas, 128, keys, device_put=True, prefetch=0,
-                       build_plans=True)
+                       build_plans=True, plan_geometry="autotune",
+                       plan_dim=D)
     fbatch = next(iter(dlf))
     mf = make_sp_model("NGNN", num_layer=6, hiddim=D, seed=0,
                        mlp={"norm": "bn", "act": "silu"})

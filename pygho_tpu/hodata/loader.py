@@ -140,16 +140,20 @@ class SpDataloader(_BaseLoader):
     ``build_plans=True`` additionally builds fused-kernel chunk plans for
     every precompute key (datadict["<key>___plan"]), enabling the Pallas
     spspmm path on TPU.  ``plan_geometry=(C, R, S)`` overrides the chunk
-    shape."""
+    shape; "auto" picks R from window-span percentiles; "autotune" runs
+    the roofline cost model per role (kernels.autotune_spspmm_geoms) on
+    the first batch — pass ``plan_dim`` = the model's hidden dim so the
+    compute/DMA balance matches what will actually run."""
 
     def __init__(self, dataset, batch_size: int, keys: Sequence[str] = ("",),
                  annotate: Sequence[str] = ("",), build_plans: bool = False,
-                 plan_geometry=None, **kw):
+                 plan_geometry=None, plan_dim: int = 128, **kw):
         super().__init__(dataset, batch_size, **kw)
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
         self.build_plans = build_plans
-        self.plan_geometry = plan_geometry   # (C,R,S) | "auto" | None
+        self.plan_geometry = plan_geometry  # (C,R,S)|"auto"|"autotune"|None
+        self.plan_dim = plan_dim
         self._geoms: Dict[str, tuple] = {}
 
     def _collate(self, datas):
@@ -164,7 +168,8 @@ class SpDataloader(_BaseLoader):
         from ..backend.indexing import bucket_size
         from ..honn.sp_operator import KEYSEP
         from ..hodata.sp_data import parsekey, parseop
-        from ..kernels import build_spspmm_plans
+        from ..kernels import (build_spspmm_plans, build_spspmm_plans_for,
+                               autotune_spspmm_geoms)
         from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
                                             suggest_geometry)
 
@@ -180,15 +185,34 @@ class SpDataloader(_BaseLoader):
                 continue
             op0, op1, _, op2, _ = parsekey(key)
             acd = batch[f"{key}{KEYSEP}acd"]
-            if geom == "auto":
+            geoms = None
+            if geom == "autotune":
+                # per-role geometry from the roofline cost model, picked
+                # once per key on the first batch (bucketed shapes keep
+                # later batches statistically alike)
+                gname = f"tuned{key}"
+                if gname not in self._geoms:
+                    self._geoms[gname] = autotune_spspmm_geoms(
+                        acd, rows_of(op1), rows_of(op2), rows_of(op0),
+                        D=self.plan_dim)
+                geoms = self._geoms[gname]
+            elif geom == "auto":
                 gname = f"geom{key}"
                 if gname not in self._geoms:
                     self._geoms[gname] = suggest_geometry(acd)
                 C, R, S = self._geoms[gname]
+            elif isinstance(geom, str):
+                raise ValueError(
+                    f"unknown plan_geometry {geom!r}: expected 'auto', "
+                    f"'autotune', a (C, R, S) tuple, or None")
             else:
                 C, R, S = geom or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
-            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
-                                       rows_of(op0), C, R, S)
+            if geoms is not None:
+                plans = build_spspmm_plans_for(
+                    acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms)
+            else:
+                plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                           rows_of(op0), C, R, S)
             # fragmentation guard: if the triples have no window locality
             # (expander-like graphs), tiny chunks make the fused kernel
             # slower than XLA — skip the plan and let the operator fall
@@ -202,9 +226,14 @@ class SpDataloader(_BaseLoader):
             n = max(p.n_chunks for p in plans)
             pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
             self.buckets[f"plan{key}"] = pad
-            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
-                                       rows_of(op0), C, R, S,
-                                       pad_chunks_to=pad)
+            if geoms is not None:
+                plans = build_spspmm_plans_for(
+                    acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms,
+                    pad_chunks_to=pad)
+            else:
+                plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                           rows_of(op0), C, R, S,
+                                           pad_chunks_to=pad)
             batch[f"{key}{KEYSEP}plan"] = plans
 
 

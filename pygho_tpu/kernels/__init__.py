@@ -10,7 +10,11 @@ protocol.
 """
 
 from .fused_spspmm import (ChunkPlan, build_chunk_plan, build_spspmm_plans,
+                           build_spspmm_plans_for, autotune_spspmm_geoms,
+                           autotune_geometry, estimate_plan_cost,
                            fused_spspmm, fused_contract)
 
 __all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
+           "build_spspmm_plans_for", "autotune_spspmm_geoms",
+           "autotune_geometry", "estimate_plan_cost",
            "fused_spspmm", "fused_contract"]

@@ -447,20 +447,50 @@ def build_spspmm_plans(
     def rup(n, m):
         return max(((n + m - 1) // m) * m, m)
 
-    fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, R),
-                           rup(a_rows, R), rup(out_rows, S), C, R, S,
+    Rda = R_da if R_da is not None else max(R, DEFAULT_R_DA)
+    return build_spspmm_plans_for(
+        acd, x_rows, a_rows, out_rows,
+        {"fwd": (C, R, S), "dx": (C, R, S), "da": (C, Rda, S)},
+        pad_chunks_to)
+
+
+def build_spspmm_plans_for(
+    acd: np.ndarray,
+    x_rows: int,
+    a_rows: int,
+    out_rows: int,
+    geoms: dict,
+    pad_chunks_to: Optional[int] = None,
+) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
+    """build_spspmm_plans with an independent (C, R, S) per role —
+    ``geoms = {"fwd": (C,R,S), "dx": (C,R,S), "da": (C,R,S)}`` (from
+    autotune_spspmm_geoms or hand-picked).  The dX/dA operand padding
+    always covers the forward's padded output so the custom_vjp can feed
+    the cotangent straight through."""
+    acd = np.asarray(acd)
+    a, c, d = acd[0], acd[1], acd[2]
+    real = a < PAD_INDEX
+    a, c, d = a[real], c[real], d[real]
+
+    def rup(n, m):
+        return max(((n + m - 1) // m) * m, m)
+
+    Cf, Rf, Sf = geoms["fwd"]
+    Cx, Rx, Sx = geoms["dx"]
+    Ca, Ra, Sa = geoms["da"]
+    fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, Rf),
+                           rup(a_rows, Rf), rup(out_rows, Sf), Cf, Rf, Sf,
                            pad_chunks_to)
     # the gradient-side "operand" is the cotangent g, whose row count is
-    # the forward's padded OUTPUT (rup(out_rows, S)); window-pad that
-    g_rows = rup(out_rows, S)
+    # the forward's padded OUTPUT (fwd.out_rows); window-pad that
+    g_rows = fwd.out_rows
     o1 = np.argsort(c, kind="stable")
-    dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, R),
-                          rup(a_rows, R), rup(x_rows, S), C, R, S,
+    dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, Rx),
+                          rup(a_rows, Rx), rup(x_rows, Sx), Cx, Rx, Sx,
                           pad_chunks_to)
     o2 = np.argsort(d, kind="stable")
-    Rda = R_da if R_da is not None else max(R, DEFAULT_R_DA)
-    da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Rda),
-                          rup(g_rows, Rda), rup(a_rows, S), C, Rda, S,
+    da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Ra),
+                          rup(g_rows, Ra), rup(a_rows, Sa), Ca, Ra, Sa,
                           pad_chunks_to)
     return fwd, dx, da
 
@@ -537,3 +567,91 @@ def suggest_geometry(acd: np.ndarray, C: int = DEFAULT_C,
         if r >= need:
             return C, int(r), C
     return C, int(candidates[-1]), C
+
+# ---------------------------------------------------------------------------
+# static cost model + geometry autotuning
+# ---------------------------------------------------------------------------
+
+# TPU v5e per-chip peaks.  Only the RATIOS matter — the model ranks
+# candidate geometries; absolute times are roofline-optimistic.
+_MXU_FLOPS = 197e12      # bf16 matmul
+_VPU_FLOPS = 3.9e12      # elementwise f32 (one-hot iota-compare builds)
+_HBM_BW = 819e9          # bytes/s
+
+
+def estimate_plan_cost(plan: ChunkPlan, D: int, exact: bool = True,
+                       itemsize: int = 4) -> float:
+    """Roofline time estimate (seconds) for one fused_contract launch.
+
+    Per chunk the window DMAs are double-buffered against the MXU work,
+    so chunk time ~ max(dma, compute); output blocks spill to HBM once
+    each; the scalar triple stream is read once.  ``exact`` triples the
+    MXU passes (3-term bf16 decomposition)."""
+    C, R, S = plan.C, plan.R, plan.S
+    passes = 3 if exact else 1
+    # two (C,R)@(R,D) gathers + one (S,C)@(C,D) scatter, per pass
+    mxu = passes * (2 * 2 * C * R * D + 2 * S * C * D) / _MXU_FLOPS
+    # one-hot construction is VPU-bound and independent of passes
+    vpu = (2 * C * R + S * C) / _VPU_FLOPS
+    t_comp = mxu + vpu
+    dma = np.asarray(plan.udma) + np.asarray(plan.vdma)      # 0..2 per chunk
+    t_dma = dma.astype(np.float64) * (R * D * itemsize / _HBM_BW)
+    total = float(np.sum(np.maximum(t_dma, t_comp)))
+    total += plan.out_rows * D * itemsize / _HBM_BW          # block spills
+    total += plan.n_chunks * (3 * C + 8) * 4 / _HBM_BW       # triple stream
+    return total
+
+
+# (C, R, S) grid for the autotuner.  All MXU-tile friendly; S == C keeps
+# the scatter one-hot square-ish and the output block in VMEM.
+_GEOM_CANDIDATES = (
+    (256, 256, 256), (256, 512, 256),
+    (512, 256, 512), (512, 320, 512), (512, 512, 512), (512, 768, 512),
+    (1024, 512, 1024), (1024, 768, 1024), (1024, 1024, 1024),
+)
+
+
+def autotune_geometry(tuv: np.ndarray, u_rows: int, v_rows: int,
+                      out_rows: int, D: int, exact: bool = True,
+                      candidates=None) -> Tuple[Tuple[int, int, int], float]:
+    """Pick the (C, R, S) minimizing estimate_plan_cost over REAL plans
+    built for each candidate (host planning is cheap: the C++ chunker is
+    linear in the triple count).  Returns (geometry, predicted_seconds)."""
+
+    def rup(n, m):
+        return max(((n + m - 1) // m) * m, m)
+
+    best = None
+    for C, R, S in candidates or _GEOM_CANDIDATES:
+        plan = build_chunk_plan(np.asarray(tuv), rup(u_rows, R),
+                                rup(v_rows, R), rup(out_rows, S), C, R, S)
+        cost = estimate_plan_cost(plan, D, exact)
+        if best is None or cost < best[1]:
+            best = ((C, R, S), cost)
+    return best
+
+
+def autotune_spspmm_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
+                          out_rows: int, D: int = 128, exact: bool = True,
+                          candidates=None) -> dict:
+    """Per-role geometry for build_spspmm_plans_for, each picked by the
+    cost model on that role's actual triple ordering (the dA role's
+    graph-wide fan-in usually selects a much wider R than the forward)."""
+    acd = np.asarray(acd)
+    a, c, d = acd[0], acd[1], acd[2]
+    real = a < PAD_INDEX
+    a, c, d = a[real], c[real], d[real]
+
+    def rup(n, m):
+        return max(((n + m - 1) // m) * m, m)
+
+    g_fwd, _ = autotune_geometry(np.stack([a, c, d]), x_rows, a_rows,
+                                 out_rows, D, exact, candidates)
+    g_rows = rup(out_rows, g_fwd[2])
+    o1 = np.argsort(c, kind="stable")
+    g_dx, _ = autotune_geometry(np.stack([c, a, d])[:, o1], g_rows, a_rows,
+                                x_rows, D, exact, candidates)
+    o2 = np.argsort(d, kind="stable")
+    g_da, _ = autotune_geometry(np.stack([d, c, a])[:, o2], x_rows, g_rows,
+                                a_rows, D, exact, candidates)
+    return {"fwd": g_fwd, "dx": g_dx, "da": g_da}

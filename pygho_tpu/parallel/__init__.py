@@ -13,12 +13,24 @@ subsystem is net-new design per BASELINE.json:
 from .mesh import make_mesh
 from .data_parallel import (collate_sharded_sparse, make_dp_train_step,
                             make_dp_eval_step)
-from .tuple_parallel import spspmm_tuple_parallel
+from .tuple_parallel import (spspmm_tuple_parallel,
+                             make_tuple_parallel_spspmm,
+                             build_tuple_shard_plan, make_partitioned_spspmm,
+                             build_overlapped_shard_plan,
+                             make_overlapped_spspmm,
+                             build_scatter_shard_plan, make_scatter_spspmm,
+                             plan_exchange_volumes,
+                             choose_partitioned_spspmm)
 from .giant import (build_giant_graph_plan, init_giant_params,
                     make_giant_graph_step)
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
     "make_dp_eval_step", "spspmm_tuple_parallel",
+    "make_tuple_parallel_spspmm", "build_tuple_shard_plan",
+    "make_partitioned_spspmm", "build_overlapped_shard_plan",
+    "make_overlapped_spspmm", "build_scatter_shard_plan",
+    "make_scatter_spspmm", "plan_exchange_volumes",
+    "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
 ]

@@ -389,3 +389,177 @@ def make_overlapped_spspmm(mesh: Mesh, plan: OverlappedShardPlan,
         return out.reshape(plan.P * plan.B, -1)
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# v4: input-stationary bands + all_to_all of pre-reduced outputs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ScatterShardPlan:
+    """Dual of OverlappedShardPlan: triples are partitioned by the owner
+    of the INPUT row c (input-stationary).  Cross-shard contributions
+    are pre-reduced locally into per-destination bands — many triples
+    hitting the same remote output row collapse into ONE exchanged row —
+    then swapped point-to-point with all_to_all and scattered into the
+    owner's block.  Wins over the boundary-pool all_gather whenever the
+    output fan-in across shards exceeds the input boundary size
+    (hub-and-spoke / high-degree graphs); plan_exchange_volumes compares
+    the two on the host."""
+
+    acd_loc: jax.Array    # i32[P, Kl, 3] (a_local, c_local, d), both own
+    acd_out: jax.Array    # i32[P, Kc, 3] (band_pos=q*Bpq+s, c_local, d)
+    recv_row: jax.Array   # i32[P, P, Bpq] dest-local row for (dest, src, s)
+    P: int
+    B: int
+    Bpq: int
+
+
+jax.tree_util.register_dataclass(
+    ScatterShardPlan, data_fields=["acd_loc", "acd_out", "recv_row"],
+    meta_fields=["P", "B", "Bpq"])
+
+
+def build_scatter_shard_plan(acd: np.ndarray, nnz_pad: int,
+                             P: int) -> ScatterShardPlan:
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a, c, d = (acd[0][real].astype(np.int64), acd[1][real].astype(np.int64),
+               acd[2][real].astype(np.int64))
+    assert nnz_pad % P == 0
+    B = nnz_pad // P
+    a_owner = np.minimum(a // B, P - 1)
+    c_owner = np.minimum(c // B, P - 1)
+    is_local = a_owner == c_owner
+
+    # per-(src, dest) output bands: the distinct remote rows each source
+    # contributes to, ranked by destination-local row
+    band_rows = {}
+    for p in range(P):
+        for q in range(P):
+            if p == q:
+                continue
+            sel = (c_owner == p) & (a_owner == q)
+            if sel.any():
+                band_rows[(p, q)] = np.unique(a[sel])
+    Bpq = max(max((len(r) for r in band_rows.values()), default=1), 1)
+
+    recv_row = np.full((P, P, Bpq), PAD_INDEX, np.int32)
+    for (p, q), rows in band_rows.items():
+        recv_row[q, p, : len(rows)] = rows - q * B
+
+    Kl = max(int(max((np.sum((c_owner == p) & is_local) for p in range(P)),
+                     default=1)), 1)
+    Kc = max(int(max((np.sum((c_owner == p) & ~is_local) for p in range(P)),
+                     default=1)), 1)
+    acd_loc = np.zeros((P, Kl, 3), np.int32)
+    acd_out = np.zeros((P, Kc, 3), np.int32)
+    acd_loc[:, :, 0] = PAD_INDEX
+    acd_out[:, :, 0] = P * Bpq          # OOB segment id -> dropped
+    for p in range(P):
+        sel_l = np.nonzero((c_owner == p) & is_local)[0]
+        acd_loc[p, :len(sel_l), 0] = a[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 1] = c[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 2] = d[sel_l]
+        sel_c = np.nonzero((c_owner == p) & ~is_local)[0]
+        if len(sel_c):
+            qs, as_, cs, ds = (a_owner[sel_c], a[sel_c], c[sel_c], d[sel_c])
+            order = np.lexsort((as_, qs))   # by (dest, target row)
+            qs, as_, cs, ds = qs[order], as_[order], cs[order], ds[order]
+            pos = np.empty(len(sel_c), np.int64)
+            for q in np.unique(qs):
+                m = qs == q
+                pos[m] = np.searchsorted(band_rows[(p, int(q))], as_[m])
+            acd_out[p, :len(sel_c), 0] = qs * Bpq + pos
+            acd_out[p, :len(sel_c), 1] = cs - p * B
+            acd_out[p, :len(sel_c), 2] = ds
+    return ScatterShardPlan(
+        acd_loc=jnp.asarray(acd_loc), acd_out=jnp.asarray(acd_out),
+        recv_row=jnp.asarray(recv_row), P=P, B=B, Bpq=Bpq)
+
+
+def _scatter_contract(h, Av, loc, outc, recv_row_me, P, B, Bpq, axis):
+    """Shard body: pre-reduce per-destination bands, start the
+    all_to_all, reduce local triples under it, then scatter-add the
+    received pre-reduced rows into the own block."""
+    av = h[jnp.minimum(outc[:, 1], h.shape[0] - 1)]
+    bv = Av[jnp.minimum(outc[:, 2], Av.shape[0] - 1)]
+    send = segment_reduce(av * bv, outc[:, 0], P * Bpq, "sum",
+                          indices_are_sorted=True)
+    send = send.reshape(P, Bpq, -1)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=False)
+    # local contraction has no dependency on the exchange above — XLA's
+    # async collectives overlap the two
+    al = h[jnp.minimum(loc[:, 1], h.shape[0] - 1)]
+    bl = Av[jnp.minimum(loc[:, 2], Av.shape[0] - 1)]
+    out = segment_reduce(al * bl, loc[:, 0], B, "sum",
+                         indices_are_sorted=True)
+    flat = recv.reshape(P * Bpq, -1)
+    ids = recv_row_me.reshape(P * Bpq)
+    return out + segment_reduce(flat, ids, B, "sum",
+                                indices_are_sorted=False)
+
+
+def make_scatter_spspmm(mesh: Mesh, plan: ScatterShardPlan,
+                        axis: str = "sp"):
+    """Tuple-parallel spspmm with the pre-reduced output exchange."""
+    from jax.sharding import PartitionSpec as P_
+
+    def body(Xblk, Av, loc, outc, rrow):
+        out = _scatter_contract(Xblk[0], Av, loc[0], outc[0], rrow[0],
+                                plan.P, plan.B, plan.Bpq, axis)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(plan.P, plan.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P_(axis), P_(), P_(axis), P_(axis), P_(axis)),
+            out_specs=P_(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, plan.acd_loc, plan.acd_out, plan.recv_row)
+        return out.reshape(plan.P * plan.B, -1)
+
+    return jax.jit(run)
+
+
+def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
+    """Per-device exchanged row counts (padded, what actually moves) for
+    the two partitioned strategies — pick the smaller before building:
+
+    - "overlapped" (v3): all_gather of input boundary pools, P*Bnd rows
+    - "scatter" (v4): all_to_all of pre-reduced output bands, P*Bpq rows
+    """
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a = acd[0][real].astype(np.int64)
+    c = acd[1][real].astype(np.int64)
+    B = nnz_pad // P
+    a_owner = np.minimum(a // B, P - 1)
+    c_owner = np.minimum(c // B, P - 1)
+    cross = a_owner != c_owner
+    bnd = 0
+    bpq = 0
+    for q in range(P):
+        rows = np.unique(c[cross & (c_owner == q)])
+        bnd = max(bnd, len(rows))
+    for p in range(P):
+        for q in range(P):
+            if p != q:
+                bpq = max(bpq, len(np.unique(
+                    a[cross & (c_owner == p) & (a_owner == q)])))
+    return {"overlapped": P * max(bnd, 1), "scatter": P * max(bpq, 1)}
+
+
+def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
+                              axis: str = "sp"):
+    """Build whichever partitioned contraction moves fewer rows."""
+    vols = plan_exchange_volumes(acd, nnz_pad, mesh.shape[axis])
+    if vols["scatter"] < vols["overlapped"]:
+        plan = build_scatter_shard_plan(acd, nnz_pad, mesh.shape[axis])
+        return make_scatter_spspmm(mesh, plan, axis), "scatter", vols
+    plan = build_overlapped_shard_plan(acd, nnz_pad, mesh.shape[axis])
+    return make_overlapped_spspmm(mesh, plan, axis), "overlapped", vols

@@ -154,3 +154,111 @@ def test_fused_covers_3tuple_contractions(rng):
     o1 = np.asarray(m(batch_to_sparse_dict(bf)))
     o2 = np.asarray(m(batch_to_sparse_dict(bp)))
     assert maxdiff(o1, o2) < 1e-6
+
+
+def test_autotuned_geoms_correct_and_no_worse(rng):
+    """Per-role autotuned plans: forward+gradients still match XLA, and
+    the model's predicted cost never exceeds the default geometry's."""
+    from pygho_tpu.kernels import (autotune_spspmm_geoms,
+                                   build_spspmm_plans_for,
+                                   estimate_plan_cost)
+
+    X, A, acd_p = _case(rng)
+    geoms = autotune_spspmm_geoms(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                                  D=128)
+    tuned = build_spspmm_plans_for(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                                   geoms)
+    default = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad)
+    for t, dflt in zip(tuned, default):
+        assert (estimate_plan_cost(t, 128)
+                <= estimate_plan_cost(dflt, 128) + 1e-12)
+
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+    out = fused_spspmm(X.values, A.values, *tuned, True)[: X.nnz_pad]
+    assert maxdiff(out, ref.values) < 1e-5
+
+    g1 = jax.grad(lambda xv, av: (fused_spspmm(
+        xv, av, *tuned, True)[: X.nnz_pad] ** 2).sum(), argnums=(0, 1))(
+        X.values, A.values)
+    g2 = jax.grad(lambda xv, av: (spspmm(
+        SparseTensor(X.indices, xv, X.nnz, X.sparse_shape), 1,
+        SparseTensor(A.indices, av, A.nnz, A.sparse_shape), 0, "sum",
+        acd=jnp.asarray(acd_p),
+        tarX=SparseTensor(X.indices, xv, X.nnz, X.sparse_shape)).values
+        ** 2).sum(), argnums=(0, 1))(X.values, A.values)
+    assert maxdiff(g1[0], g2[0]) < 1e-3
+    assert maxdiff(g1[1], g2[1]) < 1e-3
+
+
+def test_estimate_plan_cost_orders_dma_traffic(rng):
+    """More window changes (smaller effective reuse) must cost more in
+    the model, all else equal."""
+    from pygho_tpu.kernels import estimate_plan_cost
+
+    X, A, acd_p = _case(rng)
+    fwd, _, _ = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                                   C=256, R=256, S=256)
+    base = estimate_plan_cost(fwd, 128)
+    forced = jax.tree.map(lambda x: x, fwd)
+    forced = fwd.__class__(**{**{f.name: getattr(fwd, f.name)
+                                 for f in __import__("dataclasses").fields(fwd)},
+                              "udma": np.ones_like(np.asarray(fwd.udma)),
+                              "vdma": np.ones_like(np.asarray(fwd.vdma))})
+    assert estimate_plan_cost(forced, 128) >= base
+
+
+def test_loader_autotune_geometry_end_to_end(rng):
+    """plan_geometry="autotune": plans appear, model output identical to
+    the XLA path."""
+    from functools import partial
+
+    from pygho_tpu.hodata import Sppretransform, SpDataloader
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+
+    m = make_sp_model("NGNN", num_layer=1, hiddim=128,
+                      mlp={"norm": "none"})
+    keys = parse_precomputekey(m)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g)
+             for g in synthetic_zinc("train", 8)]
+    bt = next(iter(SpDataloader(datas, 8, keys, device_put=False,
+                                prefetch=0, build_plans=True,
+                                plan_geometry="autotune", plan_dim=128)))
+    bp = next(iter(SpDataloader(datas, 8, keys, device_put=False,
+                                prefetch=0)))
+    assert any(k.endswith("___plan") for k in bt)
+    m.eval()
+    o1 = np.asarray(m(batch_to_sparse_dict(bt)))
+    o2 = np.asarray(m(batch_to_sparse_dict(bp)))
+    assert maxdiff(o1, o2) < 1e-6
+
+
+def test_fused_path_serves_bf16_models(rng):
+    """bf16 model values are cast up at the kernel boundary; output must
+    match the XLA bf16 path within bf16 tolerance."""
+    from functools import partial
+
+    from pygho_tpu.hodata import Sppretransform, SpDataloader
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+
+    m = make_sp_model("NGNN", num_layer=1, hiddim=128,
+                      mlp={"norm": "none"}, dtype=jnp.bfloat16)
+    keys = parse_precomputekey(m)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g)
+             for g in synthetic_zinc("train", 8)]
+    bt = next(iter(SpDataloader(datas, 8, keys, device_put=False,
+                                prefetch=0, build_plans=True)))
+    bp = next(iter(SpDataloader(datas, 8, keys, device_put=False,
+                                prefetch=0)))
+    m.eval()
+    o1 = np.asarray(m(batch_to_sparse_dict(bt)).astype(jnp.float32))
+    o2 = np.asarray(m(batch_to_sparse_dict(bp)).astype(jnp.float32))
+    scale = max(np.abs(o2).max(), 1e-6)
+    assert maxdiff(o1, o2) / scale < 0.05

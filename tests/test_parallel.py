@@ -241,3 +241,55 @@ def test_giant_graph_training(rng):
     worst = max(float(jnp.abs(a - b).max())
                 for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
     assert worst < 1e-4, worst
+
+
+def test_scatter_tuple_parallel_matches_spspmm(rng):
+    """v4 (pre-reduced output bands + all_to_all) equals the
+    single-device contraction; the chooser picks a valid strategy."""
+    from pygho_tpu.parallel.tuple_parallel import (
+        build_scatter_shard_plan, make_scatter_spspmm,
+        choose_partitioned_spspmm, plan_exchange_volumes)
+
+    n = 40
+    dense = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.25)
+    ind = np.stack(np.nonzero(dense)).astype(np.int64)
+    nnz_pad = ((indexing.bucket_size(ind.shape[1]) + 7) // 8) * 8
+    X = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], 16)).astype(np.float32),
+        (n, n), nnz_pad=nnz_pad)
+    A = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], 16)).astype(np.float32),
+        (n, n), nnz_pad=nnz_pad)
+    tar, bcd = indexing.spspmm_ind(ind, 1, ind, 0)
+    acd = indexing.filterind(ind, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
+    oracle = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_scatter_shard_plan(acd_p, nnz_pad, 8)
+    got = make_scatter_spspmm(mesh, plan, "sp")(X.values, A.values)
+    assert maxdiff(got[:nnz_pad], oracle.values) < 1e-4
+
+    fn, which, vols = choose_partitioned_spspmm(mesh, acd_p, nnz_pad, "sp")
+    assert which in vols and vols[which] == min(vols.values())
+    got2 = fn(X.values, A.values)
+    assert maxdiff(got2[:nnz_pad], oracle.values) < 1e-4
+
+
+def test_scatter_prereduction_wins_on_concentrated_fanin(rng):
+    """When cross-shard triples funnel into FEW output rows but read MANY
+    input rows, pre-reducing outputs before the exchange moves far fewer
+    rows than gathering the input boundary pool."""
+    from pygho_tpu.parallel.tuple_parallel import plan_exchange_volumes
+
+    # synthetic triples: every remote row of every shard contributes to
+    # output row 0 (owner: device 0) -> Bpq=1, while device 0's boundary
+    # pool must hold every remote row -> Bnd=B
+    nnz_pad, P = 64, 8
+    c = np.arange(8, 64, dtype=np.int64)      # all rows of devices 1..7
+    a = np.zeros_like(c)                      # one target row on device 0
+    d = np.zeros_like(c)
+    acd_p = indexing.pad_acd(np.stack([a, c, d]), 64)
+    vols = plan_exchange_volumes(acd_p, nnz_pad, P)
+    assert vols["scatter"] < vols["overlapped"], vols
+    assert vols["scatter"] == P * 1 and vols["overlapped"] == P * 8
