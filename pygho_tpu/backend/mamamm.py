@@ -17,6 +17,18 @@ import jax.numpy as jnp
 
 from .matensor import MaskedTensor
 
+# toggle for the Pallas channel-wise product path (TPU only)
+_CHANNELWISE = True
+
+
+def set_channelwise_bmm(flag: bool) -> None:
+    global _CHANNELWISE
+    _CHANNELWISE = bool(flag)
+
+
+def _use_channelwise() -> bool:
+    return _CHANNELWISE
+
 
 def mamamm(
     A: MaskedTensor,
@@ -34,6 +46,24 @@ def mamamm(
     """
     tA = A.fill_masked(0.0)
     tB = B.fill_masked(0.0)
+
+    # channel-wise product fast path (the PPGN/2FWL hot op): an
+    # independent (n, n) matmul per (graph, channel) maps terribly onto
+    # the MXU at molecule-scale n — the Pallas kernel keeps the
+    # (n, n, d) layout and contracts on the VPU with d on the lanes
+    # (kernels/channelwise_bmm.py).  TPU only; einsum elsewhere.
+    if (broadcast_firstdim and A.masked_dim == 3 and B.masked_dim == 3
+            and A.dense_dim == 1 and B.dense_dim == 1
+            and dim1 in (1, 2) and dim2 in (1, 2)
+            and jax.default_backend() == "tpu" and _use_channelwise()):
+        from ..kernels.channelwise_bmm import (channelwise_bmm,
+                                               cw_bmm_applicable)
+
+        if cw_bmm_applicable(tA.shape, tB.shape, tA.dtype, tB.dtype):
+            a = tA if dim1 == 2 else jnp.swapaxes(tA, 1, 2)
+            b = tB if dim2 == 1 else jnp.swapaxes(tB, 1, 2)
+            prod = channelwise_bmm(a, b).astype(tA.dtype)
+            return MaskedTensor(prod, mask)
 
     letters = iter(string.ascii_lowercase)
     k = next(letters)          # contracted index

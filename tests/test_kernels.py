@@ -262,3 +262,47 @@ def test_fused_path_serves_bf16_models(rng):
     o2 = np.asarray(m(batch_to_sparse_dict(bp)).astype(jnp.float32))
     scale = max(np.abs(o2).max(), 1e-6)
     assert maxdiff(o1, o2) / scale < 0.05
+
+
+def test_channelwise_bmm_matches_einsum(rng):
+    """cw kernel (interpret mode on CPU) == per-channel batched matmul,
+    forward and gradients."""
+    from pygho_tpu.kernels.channelwise_bmm import channelwise_bmm
+
+    B, n, d = 3, 24, 128
+    A = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+    X = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+    ref = jnp.einsum("bikd,bkjd->bijd", A, X)
+    got = channelwise_bmm(A, X, True)
+    assert maxdiff(got, ref) < 1e-4
+
+    g1 = jax.grad(lambda a, x: (channelwise_bmm(a, x, True) ** 2).sum(),
+                  argnums=(0, 1))(A, X)
+    g2 = jax.grad(lambda a, x: (jnp.einsum("bikd,bkjd->bijd", a, x) ** 2)
+                  .sum(), argnums=(0, 1))(A, X)
+    assert maxdiff(g1[0], g2[0]) < 1e-2
+    assert maxdiff(g1[1], g2[1]) < 1e-2
+
+
+def test_mamamm_channelwise_dim_variants(rng):
+    """All four (dim1, dim2) combinations canonicalize correctly to the
+    kernel's (2, 1) contraction (checked against the einsum path)."""
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.mamamm import mamamm
+    from pygho_tpu.kernels.channelwise_bmm import channelwise_bmm
+
+    B, n, d = 2, 16, 128
+    mask = jnp.asarray(rng.random((B, n, n)) < 0.8)
+    Ad = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+    Xd = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+    A = MaskedTensor(Ad, mask)
+    X = MaskedTensor(Xd, mask)
+    for dim1 in (1, 2):
+        for dim2 in (1, 2):
+            ein = mamamm(A, dim1, X, dim2, mask)   # einsum on CPU
+            a = A.fill_masked(0.0)
+            b = X.fill_masked(0.0)
+            a = a if dim1 == 2 else jnp.swapaxes(a, 1, 2)
+            b = b if dim2 == 1 else jnp.swapaxes(b, 1, 2)
+            kern = channelwise_bmm(a, b, True)
+            assert maxdiff(kern, ein.data) < 1e-4, (dim1, dim2)
