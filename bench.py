@@ -226,6 +226,28 @@ def main():
     set_fused_math(True)
     log(f"train step (fused bf16): {fstep_dt * 1e3:.1f} ms "
         f"(vs {step_dt * 1e3:.1f} XLA), loss {lf:.4f} -> {finalf:.4f}")
+
+    # ---- chained train steps (fori_loop in one jit program): removes
+    # per-step host dispatch, which over the remote tunnel dominates the
+    # python-loop numbers above ------------------------------------------
+    from pygho_tpu.models.training import make_chained_sparse_train
+
+    chain_fn, _ = make_chained_sparse_train()
+    cstep = {}
+    for tag, cbatch in (("xla", batch), ("fused", fbatch)):
+        if tag == "fused":
+            set_fused_math(False)
+        mc = make_sp_model("NGNN", num_layer=6, hiddim=D, seed=0,
+                           mlp={"norm": "bn", "act": "silu"})
+        oc = make_optimizer(mc, 1e-3)
+        float(chain_fn(mc, oc, cbatch, n_steps))  # compile + warm
+        r = min(rtt(), rtt())
+        t0 = time.perf_counter()
+        lc = float(chain_fn(mc, oc, cbatch, n_steps))
+        cstep[tag] = (time.perf_counter() - t0 - r) / n_steps
+        set_fused_math(True)
+        log(f"train step chained ({tag}): {cstep[tag] * 1e3:.2f} ms/step "
+            f"(loss {lc:.4f})")
     # 6 layers x (fwd + dX + dA) gather-scatter passes over acd
     step_rows = 6 * 3 * acd_rows / step_dt
     log(f"train step: {step_dt * 1e3:.1f} ms "
@@ -247,6 +269,8 @@ def main():
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "train_step_ms": step_dt * 1e3,
             "train_step_fused_bf16_ms": fstep_dt * 1e3,
+            "train_step_chained_ms": cstep["xla"] * 1e3,
+            "train_step_chained_fused_ms": cstep["fused"] * 1e3,
             "train_rows_per_s": step_rows,
             "acd_rows": acd_rows,
             "platform": str(dev),

@@ -44,7 +44,14 @@ parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
+parser.add_argument("--chained", action="store_true",
+                    help="whole-epoch lax.scan training: one device dispatch "
+                         "per padding bucket per epoch (sparse only) — wins "
+                         "when host-device latency dominates step time")
 args = parser.parse_args()
+
+if args.chained and not args.sparse:
+    parser.error("--chained is sparse-only; add --sparse")
 
 if args.conv == "NGAT" and not args.sparse:
     parser.error("NGAT is sparse-only (spspmpnn attention path); "
@@ -65,7 +72,9 @@ from pygho_tpu.hodata.datasets import synthetic_zinc
 from pygho_tpu.honn import parse_precomputekey
 from pygho_tpu.models import make_sp_model, make_ma_model
 from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
-                                       make_optimizer, cosine_warm_restarts)
+                                       make_optimizer, cosine_warm_restarts,
+                                       make_chained_sparse_train,
+                                       group_stack_batches)
 from pygho_tpu.utils import MetricsLogger, device_memory_stats
 
 mlpdict = {"dp": args.dp, "norm": args.norm, "act": "silu",
@@ -106,6 +115,8 @@ def run_once(rep: int) -> float:
                                               keys, build_plans=args.fused,
                                               **kw)
         train_step, eval_step = make_sparse_steps()
+        if args.chained:
+            _, scan_fn = make_chained_sparse_train()
     else:
         mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)
         train_step, eval_step = make_dense_steps()
@@ -121,8 +132,13 @@ def run_once(rep: int) -> float:
     for epoch in range(1, args.epochs + 1):
         t1 = time.time()
         model.train()
-        losses = [train_step(model, opt, b) for b in loaders["train"]]
-        loss = float(np.mean([float(l) for l in losses]))
+        if args.chained:
+            stacked = group_stack_batches(list(loaders["train"]))
+            loss = float(np.mean(np.concatenate(
+                [np.asarray(scan_fn(model, opt, g)) for g in stacked])))
+        else:
+            losses = [train_step(model, opt, b) for b in loaders["train"]]
+            loss = float(np.mean([float(l) for l in losses]))
         t2 = time.time()
         model.eval()
         tot = np.zeros(2)

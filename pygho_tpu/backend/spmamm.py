@@ -24,6 +24,59 @@ from .segment import segment_reduce
 
 _FILL = {"sum": 0.0, "mean": 0.0, "max": -jnp.inf, "min": jnp.inf}
 
+# Densify-and-matmul fast path (see spmamm docstring below): enabled by
+# default for sum/mean; the budget caps the dense adjacency size so
+# giant-graph batches keep the gather path.
+_DENSE_SPMAMM = True
+_DENSE_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def set_dense_spmamm(flag: bool) -> None:
+    global _DENSE_SPMAMM
+    _DENSE_SPMAMM = bool(flag)
+
+
+def _dense_spmamm(A: SparseTensor, bidx, taridx, srcidx, n_t: int,
+                  n_s: int, tB: jax.Array, dim2: int, aggr: str,
+                  mask) -> MaskedTensor:
+    """out[b, t] = aggr_s densify(A)[b, t, s] * B[b, s] on the MXU.
+
+    The gather path moves nnz * prod(B row shape) floats through HBM
+    three times (gather, multiply, scatter); at molecule-scale n the
+    dense adjacency is only (b, n, n[, d]) — one small scatter of
+    A.values — and the contraction becomes a batched matmul whose
+    contracted axis is already B's leading non-batch axis (zero
+    relayout), or the channel-wise product for per-channel edge values
+    (kernels/channelwise_bmm.py picks this up on TPU)."""
+    bsz = A.sparse_shape[0]
+    if A.values is None:
+        vals = jnp.ones(A.indices.shape[1], tB.dtype)
+    else:
+        vals = A.values
+    dense = jnp.zeros((bsz, n_t, n_s) + vals.shape[1:], vals.dtype)
+    # PAD_INDEX rows exceed every dim => mode="drop" discards them
+    dense = dense.at[bidx, taridx, srcidx].add(vals, mode="drop")
+    if vals.ndim == 1:
+        out = jnp.einsum("bts,bs...->bt...", dense, tB,
+                         preferred_element_type=tB.dtype)
+    else:                       # per-channel edge values (nnz, d)
+        if (tB.ndim == 4 and jax.default_backend() == "tpu"):
+            from ..kernels.channelwise_bmm import (channelwise_bmm,
+                                                   cw_bmm_applicable)
+            if cw_bmm_applicable(dense.shape, tB.shape, dense.dtype,
+                                 tB.dtype):
+                out = channelwise_bmm(dense, tB).astype(tB.dtype)
+            else:
+                out = jnp.einsum("btsd,bs...d->bt...d", dense, tB)
+        else:
+            out = jnp.einsum("btsd,bs...d->bt...d", dense, tB)
+    if aggr == "mean":
+        deg = jnp.zeros((bsz, n_t), tB.dtype)
+        deg = deg.at[bidx, taridx].add(1.0, mode="drop")
+        deg = jnp.maximum(deg, 1.0)
+        out = out / deg.reshape(deg.shape + (1,) * (out.ndim - 2))
+    return MaskedTensor(jnp.moveaxis(out, 1, dim2), mask)
+
 
 def spmamm(
     A: SparseTensor,
@@ -47,6 +100,21 @@ def spmamm(
         taridx = A.indices[1]
     else:
         raise NotImplementedError("dim1 must be 1 or 2")
+
+    n_s = A.sparse_shape[1] if dim1 == 1 else A.sparse_shape[2]
+    if _DENSE_SPMAMM and aggr in ("sum", "mean"):
+        vshape = () if A.values is None else A.values.shape[1:]
+        itemsize = 4 if A.values is None else A.values.dtype.itemsize
+        nbytes = bsz * n * n_s * itemsize
+        for s in vshape:
+            nbytes *= s
+        vec_ok = (len(vshape) == 1 and B.dense_dim == 1
+                  and vshape[0] == B.data.shape[-1])
+        if (len(vshape) == 0 or vec_ok) and nbytes <= _DENSE_BUDGET_BYTES:
+            tBf = jnp.moveaxis(B.fill_masked(0.0), dim2, 1)
+            return _dense_spmamm(A, bidx, taridx, srcidx, n, n_s, tBf,
+                                 dim2, aggr,
+                                 mask if mask is not None else B.mask)
 
     tB = jnp.moveaxis(B.data, dim2, 1)
     tBmask = jnp.moveaxis(B.mask, dim2, 1)

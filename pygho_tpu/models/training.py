@@ -13,6 +13,7 @@ with c = completed restarts, t = epoch within the cycle, T_mult = 1.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -112,6 +113,116 @@ def make_dense_steps(annotate=("",)):
         return jnp.stack([(jnp.abs(pred - y).mean(-1) * w).sum(), w.sum()])
 
     return train_step, eval_step
+
+
+def stack_batches(batches) -> Dict[str, Any]:
+    """Stack same-shape collated batches along a new leading step axis
+    for `make_chained_sparse_train`'s scan path.  All batches must come
+    from the same padding bucket (the loader's bucketing makes shapes
+    within a bucket identical) — use `group_stack_batches` for a mixed
+    epoch."""
+    import numpy as np
+
+    keys = batches[0].keys()
+    for b in batches[1:]:
+        assert b.keys() == keys, "batches disagree on keys"
+    out = {}
+    for k in keys:
+        arrs = [np.asarray(b[k]) for b in batches]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"stack_batches: key {k!r} has mixed shapes {shapes} — "
+                "batches span multiple padding buckets; use "
+                "group_stack_batches(batches) and scan each group")
+        out[k] = np.stack(arrs)
+    return out
+
+
+def group_stack_batches(batches) -> list:
+    """Group collated batches by shape signature and stack each group:
+    returns a list of stacked dicts, one per padding bucket, each
+    consumable by `make_chained_sparse_train`'s scan path (one compiled
+    program + one dispatch per bucket instead of per batch)."""
+    import numpy as np
+
+    groups: Dict[tuple, list] = {}
+    for b in batches:
+        sig = tuple(sorted((k, np.asarray(v).shape) for k, v in b.items()))
+        groups.setdefault(sig, []).append(b)
+    return [stack_batches(g) for g in groups.values()]
+
+
+def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
+    """Device-side multi-step training: one jit program per call instead
+    of one dispatch per batch.
+
+    Returns ``(chain_fn, scan_fn)``:
+
+    - ``chain_fn(model, opt, batch, n_steps)`` repeats one batch
+      ``n_steps`` times in a ``lax.fori_loop`` (benchmarking / tiny
+      full-batch datasets); returns the final loss.
+    - ``scan_fn(model, opt, stacked)`` consumes ``stack_batches(...)``
+      output via ``lax.scan`` — a whole epoch in one dispatch; returns
+      per-step losses.
+
+    Both update model/optimizer state in place (nnx.update), matching a
+    python loop of `make_sparse_steps` train_step bit-for-bit.  The win
+    is host-dispatch elimination: with a remote device (or any
+    high-latency link) per-step round trips dominate small-step time.
+    """
+    from ..hodata.sp_data import batch_to_sparse_dict
+
+    loss_fns = {"l1": masked_l1_loss, "xent": softmax_xent_loss}
+    loss_fn_ = loss_fns[loss]
+
+    def _one_step(graphdef, state, batch):
+        model, opt = nnx.merge(graphdef, state)
+
+        def loss_fn(model):
+            dd = batch_to_sparse_dict(batch, annotate)
+            pred = model(dd)
+            return loss_fn_(pred, batch["y"], batch["graph_mask"])
+
+        lv, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        _, state = nnx.split((model, opt))
+        return state, lv
+
+    # jit once at factory level: graphdef and n_steps are static, so
+    # repeat calls with the same model structure / shapes hit the
+    # compile cache (defining the jit inside chain_fn would retrace —
+    # and over a remote tunnel recompile — on every invocation).
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _chain_run(graphdef, state, batch, n_steps):
+        def body(i, carry):
+            state, _ = carry
+            state, lv = _one_step(graphdef, state, batch)
+            return state, lv.astype(jnp.float32)
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (state, jnp.zeros((), jnp.float32)))
+
+    @partial(jax.jit, static_argnums=0)
+    def _scan_run(graphdef, state, stacked):
+        def body(state, batch):
+            return _one_step(graphdef, state, batch)
+
+        return jax.lax.scan(body, state, stacked)
+
+    def chain_fn(model, optimizer, batch, n_steps: int):
+        graphdef, state = nnx.split((model, optimizer))
+        state, lv = _chain_run(graphdef, state, batch, n_steps)
+        nnx.update((model, optimizer), state)
+        return lv
+
+    def scan_fn(model, optimizer, stacked):
+        graphdef, state = nnx.split((model, optimizer))
+        state, losses = _scan_run(graphdef, state, stacked)
+        nnx.update((model, optimizer), state)
+        return losses
+
+    return chain_fn, scan_fn
 
 
 def softmax_xent_loss(pred: jax.Array, y: jax.Array,

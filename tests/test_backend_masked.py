@@ -6,6 +6,7 @@ and spmamm invalid-source fill covered (reference bug #2, Spmamm.py:62).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -144,3 +145,56 @@ def test_spmamm_vs_einsum(rng, aggr):
                 contrib = np.stack([dense[bb, i, j] * dXm[bb, j] for j in js])
                 expect = contrib.sum(0) if aggr == "sum" else contrib.max(0)
             assert maxdiff(got[bb, i], expect) < 1e-4, (aggr, bb, i)
+
+
+def _random_sp_adj(rng, b, n, d=None, density=0.4):
+    keep = rng.random((b, n, n)) < density
+    idx = np.nonzero(keep)
+    ind = np.stack(idx).astype(np.int64)
+    if d is None:
+        val = rng.normal(size=ind.shape[1]).astype(np.float32)
+    else:
+        val = rng.normal(size=(ind.shape[1], d)).astype(np.float32)
+    return SparseTensor.from_numpy(ind, val, (b, n, n))
+
+
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+@pytest.mark.parametrize("vec", [False, True])
+@pytest.mark.parametrize("dim1", [1, 2])
+def test_spmamm_dense_path_matches_gather(rng, aggr, vec, dim1):
+    """The densify-and-matmul fast path == the gather/segment path for
+    sum/mean, scalar and per-channel edge values, both contractions,
+    on node (b,n,d) and tuple (b,n,n,d) operands."""
+    from pygho_tpu.backend.spmamm import set_dense_spmamm
+
+    b, n, d = 3, 7, 4
+    A = _random_sp_adj(rng, b, n, d if vec else None)
+    for mshape in [(b, n), (b, n, n)]:
+        X, _, _ = _random_masked(rng, mshape, (d,))
+        dim2 = 1 if len(mshape) == 2 else 2
+        set_dense_spmamm(True)
+        fast = spmamm(A, dim1, X, dim2, None, aggr)
+        set_dense_spmamm(False)
+        ref = spmamm(A, dim1, X, dim2, None, aggr)
+        set_dense_spmamm(True)
+        assert maxdiff(fast.data, ref.data) < 1e-4, (aggr, vec, dim1, mshape)
+
+
+def test_spmamm_dense_path_grad(rng):
+    from pygho_tpu.backend.spmamm import set_dense_spmamm
+
+    b, n, d = 2, 6, 4
+    A = _random_sp_adj(rng, b, n, d)
+    X, _, _ = _random_masked(rng, (b, n, n), (d,))
+
+    def loss(av, xd):
+        A2 = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+        return (spmamm(A2, 2, MaskedTensor(xd, X.mask), 2, None, "sum")
+                .fill_masked(0.0) ** 2).sum()
+
+    g1 = jax.grad(loss, argnums=(0, 1))(A.values, X.data)
+    set_dense_spmamm(False)
+    g2 = jax.grad(loss, argnums=(0, 1))(A.values, X.data)
+    set_dense_spmamm(True)
+    assert maxdiff(g1[0], g2[0]) < 1e-3
+    assert maxdiff(g1[1], g2[1]) < 1e-3

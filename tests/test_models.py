@@ -152,3 +152,57 @@ def test_dense_classification_steps():
     model.eval()
     res = np.asarray(ev(model, next(iter(dl))))
     assert res[1] == 8.0
+
+
+def test_chained_train_matches_python_loop():
+    """scan/fori_loop chained training == a python loop of train_step
+    (same per-step losses, same final loss on a held batch)."""
+    from pygho_tpu.models.training import (make_chained_sparse_train,
+                                           stack_batches)
+
+    model_a, dl = _sp_loader("NGNN", n_graphs=16, bs=8)
+    model_b = make_sp_model("NGNN", num_layer=2, hiddim=16,
+                            mlp=dict(MLPD))
+    batches = list(dl)
+    opt_a = make_optimizer(model_a, 1e-2)
+    opt_b = make_optimizer(model_b, 1e-2)
+    train_step, eval_step = make_sparse_steps()
+
+    ref_losses = [float(train_step(model_a, opt_a, b)) for b in batches]
+    chain_fn, scan_fn = make_chained_sparse_train()
+    losses = np.asarray(scan_fn(model_b, opt_b, stack_batches(batches)))
+    assert np.abs(losses - np.asarray(ref_losses)).max() < 1e-5, (
+        losses, ref_losses)
+    model_a.eval(), model_b.eval()
+    ea = np.asarray(eval_step(model_a, batches[0]))
+    eb = np.asarray(eval_step(model_b, batches[0]))
+    assert np.abs(ea - eb).max() < 1e-4
+
+    # fori_loop same-batch variant runs and decreases the loss
+    model_b.train()
+    l0 = float(train_step(model_b, opt_b, batches[0]))
+    lN = float(chain_fn(model_b, opt_b, batches[0], 5))
+    assert np.isfinite(lN) and lN < l0
+
+
+def test_group_stack_batches_mixed_buckets():
+    """Mixed-bucket epochs: stack_batches raises a clear error, and
+    group_stack_batches partitions by shape so every group scans."""
+    from pygho_tpu.models.training import (make_chained_sparse_train,
+                                           stack_batches,
+                                           group_stack_batches)
+
+    model, dl = _sp_loader("NGNN", n_graphs=32, bs=8)
+    batches = list(dl)
+    fake = {k: (np.zeros((3,) + np.asarray(v).shape[1:],
+                         np.asarray(v).dtype) if k == "x" else v)
+            for k, v in batches[0].items()}
+    with pytest.raises(ValueError, match="padding bucket"):
+        stack_batches([batches[0], fake])
+
+    groups = group_stack_batches(batches + [fake])
+    assert sum(g["x"].shape[0] for g in groups) == len(batches) + 1
+    opt = make_optimizer(model, 1e-2)
+    _, scan_fn = make_chained_sparse_train()
+    for g in group_stack_batches(batches):
+        assert np.isfinite(np.asarray(scan_fn(model, opt, g))).all()
