@@ -45,13 +45,10 @@ parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
 parser.add_argument("--chained", action="store_true",
-                    help="whole-epoch lax.scan training: one device dispatch "
-                         "per padding bucket per epoch (sparse only) — wins "
-                         "when host-device latency dominates step time")
+                    help="whole-epoch lax.scan training/eval: one device "
+                         "dispatch per padding bucket per epoch — wins when "
+                         "host-device latency dominates step time")
 args = parser.parse_args()
-
-if args.chained and not args.sparse:
-    parser.error("--chained is sparse-only; add --sparse")
 
 if args.conv == "NGAT" and not args.sparse:
     parser.error("NGAT is sparse-only (spspmpnn attention path); "
@@ -73,7 +70,7 @@ from pygho_tpu.honn import parse_precomputekey
 from pygho_tpu.models import make_sp_model, make_ma_model
 from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
                                        make_optimizer, cosine_warm_restarts,
-                                       make_chained_sparse_train,
+                                       make_chained_train, make_chained_eval,
                                        group_stack_batches)
 from pygho_tpu.utils import MetricsLogger, device_memory_stats
 
@@ -115,13 +112,18 @@ def run_once(rep: int) -> float:
                                               keys, build_plans=args.fused,
                                               **kw)
         train_step, eval_step = make_sparse_steps()
-        if args.chained:
-            _, scan_fn = make_chained_sparse_train()
     else:
         mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)
         train_step, eval_step = make_dense_steps()
     loaders = {"train": mk("train", shuffle=True, drop_last=True),
                "val": mk("val"), "test": mk("test")}
+    if args.chained:
+        mode = "sparse" if args.sparse else "dense"
+        _, scan_fn = make_chained_train(mode=mode)
+        chained_eval = make_chained_eval(mode=mode)
+        # eval splits don't shuffle: stack them once
+        eval_stacked = {s: group_stack_batches(list(loaders[s]))
+                        for s in ("val", "test")}
 
     sched = cosine_warm_restarts(args.lr, args.cosT, len(loaders["train"]),
                                  args.minlr, args.K, args.K2)
@@ -141,16 +143,21 @@ def run_once(rep: int) -> float:
             loss = float(np.mean([float(l) for l in losses]))
         t2 = time.time()
         model.eval()
-        tot = np.zeros(2)
-        for b in loaders["val"]:
-            tot += np.asarray(eval_step(model, b))
-        val = tot[0] / tot[1]
+
+        def split_mae(split):
+            tot = np.zeros(2)
+            if args.chained:
+                for g in eval_stacked[split]:
+                    tot += np.asarray(chained_eval(model, g))
+            else:
+                for b in loaders[split]:
+                    tot += np.asarray(eval_step(model, b))
+            return tot[0] / tot[1]
+
+        val = split_mae("val")
         if val < best_val:
             best_val = val
-            tot = np.zeros(2)
-            for b in loaders["test"]:
-                tot += np.asarray(eval_step(model, b))
-            tst = tot[0] / tot[1]
+            tst = split_mae("test")
         t3 = time.time()
         mem = device_memory_stats().get("peak_gb_in_use", 0.0)
         metrics.log_epoch(epoch, t2 - t1, t3 - t2, mem, loss, val, tst)

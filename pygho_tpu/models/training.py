@@ -153,7 +153,18 @@ def group_stack_batches(batches) -> list:
     return [stack_batches(g) for g in groups.values()]
 
 
-def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
+def _chained_to_dict(mode: str):
+    if mode == "sparse":
+        from ..hodata.sp_data import batch_to_sparse_dict as to_dict
+    elif mode == "dense":
+        from ..hodata.ma_data import batch_to_dense_dict as to_dict
+    else:
+        raise ValueError(f"mode must be 'sparse' or 'dense', got {mode!r}")
+    return to_dict
+
+
+def make_chained_train(annotate=("",), loss: str = "l1",
+                       mode: str = "sparse"):
     """Device-side multi-step training: one jit program per call instead
     of one dispatch per batch.
 
@@ -167,11 +178,12 @@ def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
       per-step losses.
 
     Both update model/optimizer state in place (nnx.update), matching a
-    python loop of `make_sparse_steps` train_step bit-for-bit.  The win
-    is host-dispatch elimination: with a remote device (or any
-    high-latency link) per-step round trips dominate small-step time.
+    python loop of `make_sparse_steps` (or `make_dense_steps` for
+    mode="dense") train_step bit-for-bit.  The win is host-dispatch
+    elimination: with a remote device (or any high-latency link)
+    per-step round trips dominate small-step time.
     """
-    from ..hodata.sp_data import batch_to_sparse_dict
+    to_dict = _chained_to_dict(mode)
 
     loss_fns = {"l1": masked_l1_loss, "xent": softmax_xent_loss}
     loss_fn_ = loss_fns[loss]
@@ -180,7 +192,7 @@ def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
         model, opt = nnx.merge(graphdef, state)
 
         def loss_fn(model):
-            dd = batch_to_sparse_dict(batch, annotate)
+            dd = to_dict(batch, annotate)
             pred = model(dd)
             return loss_fn_(pred, batch["y"], batch["graph_mask"])
 
@@ -223,6 +235,41 @@ def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
         return losses
 
     return chain_fn, scan_fn
+
+
+def make_chained_sparse_train(annotate=("",), loss: str = "l1"):
+    return make_chained_train(annotate, loss, "sparse")
+
+
+def make_chained_eval(annotate=("",), mode: str = "sparse"):
+    """Whole-split evaluation in one dispatch per padding bucket:
+    ``eval_fn(model, stacked) -> [abs_err_sum, graph_count]`` scans the
+    stacked batches (see `stack_batches` / `group_stack_batches`) and
+    accumulates the same [sum, count] pair `make_sparse_steps`'s
+    eval_step returns per batch — sum the per-group results and divide
+    for the split MAE."""
+    to_dict = _chained_to_dict(mode)
+
+    @partial(jax.jit, static_argnums=0)
+    def _eval_run(graphdef, state, stacked):
+        model = nnx.merge(graphdef, state)
+
+        def body(acc, batch):
+            dd = to_dict(batch, annotate)
+            pred = model(dd)
+            y = batch["y"].reshape(pred.shape)
+            w = batch["graph_mask"].astype(pred.dtype)
+            return acc + jnp.stack([(jnp.abs(pred - y).mean(-1) * w).sum(),
+                                    w.sum()]), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(2, jnp.float32), stacked)
+        return acc
+
+    def eval_fn(model, stacked):
+        graphdef, state = nnx.split(model)
+        return _eval_run(graphdef, state, stacked)
+
+    return eval_fn
 
 
 def softmax_xent_loss(pred: jax.Array, y: jax.Array,

@@ -185,6 +185,43 @@ def test_chained_train_matches_python_loop():
     assert np.isfinite(lN) and lN < l0
 
 
+def test_chained_eval_and_dense_chain():
+    """Chained eval accumulates the same [sum, count] as per-batch
+    eval_step; dense-mode chained training matches the python loop."""
+    from pygho_tpu.models.training import (make_chained_train,
+                                           make_chained_eval,
+                                           group_stack_batches)
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+
+    graphs = synthetic_zinc("train", n_graphs=16)
+    pre = Mapretransform(spdsampler, [""])
+    datas = [pre(g) for g in graphs]
+    dl = MaDataloader(datas, batch_size=8, shuffle=False, drop_last=True,
+                      device_put=False, prefetch=0)
+    batches = list(dl)
+    model_a = make_ma_model("NGNN", num_layer=2, hiddim=16, mlp=dict(MLPD))
+    model_b = make_ma_model("NGNN", num_layer=2, hiddim=16, mlp=dict(MLPD))
+    train_step, eval_step = make_dense_steps()
+    opt_a = make_optimizer(model_a, 1e-2)
+    opt_b = make_optimizer(model_b, 1e-2)
+
+    ref_losses = [float(train_step(model_a, opt_a, b)) for b in batches]
+    _, scan_fn = make_chained_train(mode="dense")
+    got = [float(l) for g in group_stack_batches(batches)
+           for l in np.asarray(scan_fn(model_b, opt_b, g))]
+    assert np.abs(np.array(got) - np.array(ref_losses)).max() < 1e-5
+
+    model_a.eval()
+    tot = np.zeros(2)
+    for b in batches:
+        tot += np.asarray(eval_step(model_a, b))
+    chained_eval = make_chained_eval(mode="dense")
+    ctot = np.zeros(2)
+    for g in group_stack_batches(batches):
+        ctot += np.asarray(chained_eval(model_a, g))
+    assert np.abs(tot - ctot).max() < 1e-3, (tot, ctot)
+
+
 def test_group_stack_batches_mixed_buckets():
     """Mixed-bucket epochs: stack_batches raises a clear error, and
     group_stack_batches partitions by shape so every group scans."""
