@@ -19,6 +19,7 @@ from .tuple_parallel import (spspmm_tuple_parallel,
                              build_overlapped_shard_plan,
                              make_overlapped_spspmm,
                              build_scatter_shard_plan, make_scatter_spspmm,
+                             build_ring_shard_plan, make_ring_spspmm,
                              plan_exchange_volumes,
                              choose_partitioned_spspmm)
 from .giant import (build_giant_graph_plan, init_giant_params,
@@ -30,7 +31,8 @@ __all__ = [
     "make_tuple_parallel_spspmm", "build_tuple_shard_plan",
     "make_partitioned_spspmm", "build_overlapped_shard_plan",
     "make_overlapped_spspmm", "build_scatter_shard_plan",
-    "make_scatter_spspmm", "plan_exchange_volumes",
+    "make_scatter_spspmm", "build_ring_shard_plan", "make_ring_spspmm",
+    "plan_exchange_volumes",
     "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
 ]

@@ -32,13 +32,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..backend.indexing import PAD_INDEX
 from ..backend.segment import segment_reduce
 from .tuple_parallel import (OverlappedShardPlan, _overlapped_contract,
-                             build_overlapped_shard_plan)
+                             build_overlapped_shard_plan,
+                             RingShardPlan, _ring_contract,
+                             build_ring_shard_plan)
 
 
 @dataclasses.dataclass(frozen=True)
 class GiantGraphPlan:
-    """Sharding plan for one giant graph's NGNN stack."""
-    contraction: OverlappedShardPlan   # per-layer (same pattern every layer)
+    """Sharding plan for one giant graph's NGNN stack.
+
+    ``contraction`` is either an OverlappedShardPlan (one boundary-pool
+    all_gather per layer, peak boundary memory P*Bnd rows) or a
+    RingShardPlan (ppermute ring, peak Bnd rows) — pick "ring" when the
+    gathered pool itself would blow HBM at giant scale."""
+    contraction: Any                   # per-layer (same pattern every layer)
     root_ids: jax.Array                # i32[P, B] root node per local tuple
     n_nodes: int                       # padded node count (output rows)
     P: int
@@ -52,8 +59,14 @@ jax.tree_util.register_dataclass(
 
 def build_giant_graph_plan(acd: np.ndarray, tupleid: np.ndarray,
                            nnz_pad: int, n_nodes: int,
-                           P: int) -> GiantGraphPlan:
-    contraction = build_overlapped_shard_plan(acd, nnz_pad, P)
+                           P: int,
+                           strategy: str = "overlapped") -> GiantGraphPlan:
+    if strategy == "ring":
+        contraction = build_ring_shard_plan(acd, nnz_pad, P)
+    elif strategy == "overlapped":
+        contraction = build_overlapped_shard_plan(acd, nnz_pad, P)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     B = nnz_pad // P
     tid0 = np.asarray(tupleid)[0]
     root = np.where(tid0 < PAD_INDEX, tid0, n_nodes).astype(np.int32)
@@ -93,16 +106,22 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     (bias - y_pad)^2 terms that bias the readout).
     """
     c = plan.contraction
+    is_ring = isinstance(c, RingShardPlan)
+    aux = c.acd_ring if is_ring else c.acd_bnd
 
     def device_forward(params, Xblk, Av, loc, bnd, send_l, roots):
         Xb = Xblk[0]                                    # (B, D)
         for lay in params["layers"]:
             h = jax.nn.relu(Xb @ lay["w"] + lay["b"])   # local MLP rows
-            # overlapped contraction of the POST-MLP values: the shared
-            # body starts the boundary all_gather, then reduces local
-            # triples under it (tuple_parallel._overlapped_contract)
-            out = _overlapped_contract(h, Av, loc[0], bnd[0], send_l[0],
-                                       plan.B, axis)
+            # contraction of the POST-MLP values: overlapped starts the
+            # boundary all_gather and reduces local triples under it;
+            # ring rotates boundary pools with ppermute per step
+            if is_ring:
+                out = _ring_contract(h, Av, loc[0], bnd[0], send_l[0],
+                                     plan.P, plan.B, axis)
+            else:
+                out = _overlapped_contract(h, Av, loc[0], bnd[0], send_l[0],
+                                           plan.B, axis)
             Xb = Xb + out                               # residual
         # root pooling: local partial sums + psum (roots span shards)
         node_h = segment_reduce(Xb, roots[0], plan.n_nodes, "sum",
@@ -147,13 +166,13 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     @jax.jit
     def loss_fn(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
-        return loss_sm(params, Xs, Av, c.acd_loc, c.acd_bnd, c.send_idx,
+        return loss_sm(params, Xs, Av, c.acd_loc, aux, c.send_idx,
                        plan.root_ids, y)
 
     @jax.jit
     def step(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
-        loss, grads = grad_sm(params, Xs, Av, c.acd_loc, c.acd_bnd,
+        loss, grads = grad_sm(params, Xs, Av, c.acd_loc, aux,
                               c.send_idx, plan.root_ids, y)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss

@@ -526,6 +526,151 @@ def make_scatter_spspmm(mesh: Mesh, plan: ScatterShardPlan,
     return jax.jit(run)
 
 
+# ---------------------------------------------------------------------------
+# v5: ppermute ring over boundary pools
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RingShardPlan:
+    """Ring variant of OverlappedShardPlan (ROADMAP #1): instead of one
+    all_gather that materializes every block's boundary pool at once
+    (peak memory P*Bnd rows/device), the pools travel the ring with
+    ``lax.ppermute`` in P-1 steps.  At step s device p holds block
+    (p-s) mod P's pool and contracts exactly the triples that reference
+    it; the next permute has no data dependency on that contraction, so
+    XLA's async collectives overlap communication with compute at every
+    step — the graph-world analog of ring attention's rotation
+    (SURVEY.md §5).  Total bytes moved equal the all_gather's, but peak
+    boundary memory is O(Bnd) instead of O(P*Bnd), which is what makes
+    giant-graph tuple tensors with large boundaries fit at all."""
+
+    acd_loc: jax.Array     # i32[P, Kl, 3] local triples (a_l, c_local, d)
+    acd_ring: jax.Array    # i32[P, P-1, Ks, 3] (a_l, pool_pos, d) per step
+    send_idx: jax.Array    # i32[P, Bnd] block-local rows of the own pool
+    P: int
+    B: int
+    Bnd: int
+
+
+jax.tree_util.register_dataclass(
+    RingShardPlan, data_fields=["acd_loc", "acd_ring", "send_idx"],
+    meta_fields=["P", "B", "Bnd"])
+
+
+def build_ring_shard_plan(acd: np.ndarray, nnz_pad: int,
+                          P: int) -> RingShardPlan:
+    """Group each device's boundary triples by source-block owner q and
+    schedule them at ring step s = (p - q) mod P."""
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a, c, d = (acd[0][real].astype(np.int64), acd[1][real].astype(np.int64),
+               acd[2][real].astype(np.int64))
+    assert nnz_pad % P == 0
+    B = nnz_pad // P
+    owner = np.minimum(a // B, P - 1)
+    c_owner = np.minimum(c // B, P - 1)
+    is_local = c_owner == owner
+
+    slabs = [np.nonzero(owner == p)[0] for p in range(P)]
+    send_idx, Bnd, remap = _boundary_pool(c, owner, slabs, B, P)
+
+    Kl = max(int(max((np.sum((owner == p) & is_local) for p in range(P)),
+                     default=1)), 1)
+    # per-(device, step) slab sizes
+    Ks = 1
+    for p in range(P):
+        for q in range(P):
+            if q != p:
+                Ks = max(Ks, int(np.sum((owner == p) & (c_owner == q))))
+    S = max(P - 1, 1)
+    acd_loc = np.zeros((P, Kl, 3), np.int32)
+    acd_ring = np.zeros((P, S, Ks, 3), np.int32)
+    acd_loc[:, :, 0] = PAD_INDEX
+    acd_ring[:, :, :, 0] = PAD_INDEX
+    for p in range(P):
+        sel_l = np.nonzero((owner == p) & is_local)[0]
+        acd_loc[p, :len(sel_l), 0] = a[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 1] = c[sel_l] - p * B
+        acd_loc[p, :len(sel_l), 2] = d[sel_l]
+        for s in range(1, P):
+            q = (p - s) % P
+            sel = np.nonzero((owner == p) & (c_owner == q))[0]
+            if len(sel):
+                acd_ring[p, s - 1, :len(sel), 0] = a[sel] - p * B
+                # remap() yields q*Bnd+pos in the flat all_gather pool;
+                # the held pool at step s IS block q's, so keep only pos
+                acd_ring[p, s - 1, :len(sel), 1] = remap(c[sel]) - q * Bnd
+                acd_ring[p, s - 1, :len(sel), 2] = d[sel]
+    return RingShardPlan(
+        acd_loc=jnp.asarray(acd_loc), acd_ring=jnp.asarray(acd_ring),
+        send_idx=jnp.asarray(send_idx), P=P, B=B, Bnd=Bnd)
+
+
+def _ring_contract(h, Av, loc, ring, send_row, P, B, axis):
+    """Shard body: local contraction + P-1 ring steps.  Each scan step
+    starts the next ppermute (no dependency on this step's contraction)
+    and reduces the triples aimed at the currently-held pool."""
+    out = _local_contract_triplet(h, Av, loc, B)
+    if P == 1:
+        return out
+    perm = [(i, (i + 1) % P) for i in range(P)]
+    pool0 = h[send_row]                                  # my own pool
+
+    def step(carry, acd_s):
+        pool, acc = carry
+        held = jax.lax.ppermute(pool, axis, perm)        # overlaps below
+        contrib = _pool_contract(held, Av, acd_s, B)
+        return (held, acc + contrib), None
+
+    # step s consumes the pool *after* s permutes; the first ppermute is
+    # inside the first scan iteration, so acd_ring[0] (source block p-1)
+    # lines up with the pool received there.
+    (_, out), _ = jax.lax.scan(step, (pool0, out), ring)
+    return out
+
+
+def _local_contract_triplet(h, Av, loc, B):
+    av = h[jnp.minimum(loc[:, 1], h.shape[0] - 1)]
+    bv = Av[jnp.minimum(loc[:, 2], Av.shape[0] - 1)]
+    while bv.ndim < av.ndim:
+        bv = bv[..., None]
+    return segment_reduce(av * bv, loc[:, 0], B, "sum",
+                          indices_are_sorted=True)
+
+
+def _pool_contract(pool, Av, acd_s, B):
+    av = pool[jnp.minimum(acd_s[:, 1], pool.shape[0] - 1)]
+    bv = Av[jnp.minimum(acd_s[:, 2], Av.shape[0] - 1)]
+    while bv.ndim < av.ndim:
+        bv = bv[..., None]
+    return segment_reduce(av * bv, acd_s[:, 0], B, "sum",
+                          indices_are_sorted=True)
+
+
+def make_ring_spspmm(mesh: Mesh, plan: RingShardPlan, axis: str = "sp"):
+    """Tuple-parallel spspmm with the ppermute ring exchange."""
+    from jax.sharding import PartitionSpec as P_
+
+    def body(Xblk, Av, loc, ring, send_l):
+        out = _ring_contract(Xblk[0], Av, loc[0], ring[0], send_l[0],
+                             plan.P, plan.B, axis)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(plan.P, plan.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P_(axis), P_(), P_(axis), P_(axis), P_(axis)),
+            out_specs=P_(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, plan.acd_loc, plan.acd_ring, plan.send_idx)
+        return out.reshape(plan.P * plan.B, -1)
+
+    return jax.jit(run)
+
+
 def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
     """Per-device exchanged row counts (padded, what actually moves) for
     the two partitioned strategies — pick the smaller before building:

@@ -165,6 +165,27 @@ def test_overlapped_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got, ref.values) < 1e-5
 
 
+def test_ring_tuple_parallel_matches_spspmm(rng):
+    """v5 ppermute-ring boundary exchange == single-device spspmm."""
+    from pygho_tpu.parallel.tuple_parallel import (build_ring_shard_plan,
+                                                   make_ring_spspmm)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
+    acd = indexing.filterind(indX, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1], 256))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_ring_shard_plan(acd_p, X.nnz_pad, 8)
+    assert plan.Bnd >= 1
+    got = make_ring_spspmm(mesh, plan)(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-5
+
+
 def test_giant_graph_training(rng):
     """End-to-end sp-sharded NGNN training on one giant graph matches a
     single-device implementation of the same model."""
