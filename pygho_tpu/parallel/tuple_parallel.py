@@ -677,6 +677,10 @@ def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
 
     - "overlapped" (v3): all_gather of input boundary pools, P*Bnd rows
     - "scatter" (v4): all_to_all of pre-reduced output bands, P*Bpq rows
+
+    Also reports "ring_peak" (v5): the ppermute ring moves the same
+    total rows as overlapped but holds only one block's pool (Bnd rows)
+    at a time — the knob that matters when P*Bnd itself won't fit.
     """
     acd = np.asarray(acd)
     real = acd[0] < PAD_INDEX
@@ -696,15 +700,30 @@ def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
             if p != q:
                 bpq = max(bpq, len(np.unique(
                     a[cross & (c_owner == p) & (a_owner == q)])))
-    return {"overlapped": P * max(bnd, 1), "scatter": P * max(bpq, 1)}
+    return {"overlapped": P * max(bnd, 1), "scatter": P * max(bpq, 1),
+            "ring_peak": max(bnd, 1)}
 
 
 def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
-                              axis: str = "sp"):
-    """Build whichever partitioned contraction moves fewer rows."""
+                              axis: str = "sp",
+                              max_boundary_rows: Optional[int] = None):
+    """Build whichever partitioned contraction moves fewer rows.
+
+    ``max_boundary_rows`` caps the per-device exchanged-row footprint: a
+    strategy whose resident exchange buffer exceeds it is disqualified,
+    and when both buffer-at-once strategies bust the cap the ppermute
+    ring (v5) is used — same bytes on the wire as overlapped, but only
+    one block's boundary pool resident per step."""
     vols = plan_exchange_volumes(acd, nnz_pad, mesh.shape[axis])
-    if vols["scatter"] < vols["overlapped"]:
-        plan = build_scatter_shard_plan(acd, nnz_pad, mesh.shape[axis])
+    P = mesh.shape[axis]
+    cap = max_boundary_rows if max_boundary_rows is not None else np.inf
+    sc_ok = vols["scatter"] <= cap
+    ov_ok = vols["overlapped"] <= cap
+    if sc_ok and (vols["scatter"] < vols["overlapped"] or not ov_ok):
+        plan = build_scatter_shard_plan(acd, nnz_pad, P)
         return make_scatter_spspmm(mesh, plan, axis), "scatter", vols
-    plan = build_overlapped_shard_plan(acd, nnz_pad, mesh.shape[axis])
-    return make_overlapped_spspmm(mesh, plan, axis), "overlapped", vols
+    if ov_ok:
+        plan = build_overlapped_shard_plan(acd, nnz_pad, P)
+        return make_overlapped_spspmm(mesh, plan, axis), "overlapped", vols
+    plan = build_ring_shard_plan(acd, nnz_pad, P)
+    return make_ring_spspmm(mesh, plan, axis), "ring", vols

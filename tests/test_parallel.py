@@ -292,9 +292,17 @@ def test_scatter_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got[:nnz_pad], oracle.values) < 1e-4
 
     fn, which, vols = choose_partitioned_spspmm(mesh, acd_p, nnz_pad, "sp")
-    assert which in vols and vols[which] == min(vols.values())
+    assert which in vols and vols[which] == min(vols["overlapped"],
+                                                vols["scatter"])
     got2 = fn(X.values, A.values)
     assert maxdiff(got2[:nnz_pad], oracle.values) < 1e-4
+
+    # a boundary-rows cap no buffer-at-once strategy satisfies -> ring
+    fn3, which3, _ = choose_partitioned_spspmm(mesh, acd_p, nnz_pad, "sp",
+                                               max_boundary_rows=1)
+    assert which3 == "ring"
+    got3 = fn3(X.values, A.values)
+    assert maxdiff(got3[:nnz_pad], oracle.values) < 1e-4
 
 
 def test_scatter_prereduction_wins_on_concentrated_fanin(rng):
