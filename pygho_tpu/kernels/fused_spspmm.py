@@ -87,6 +87,11 @@ class ChunkPlan:
     out_rows: int          # padded output rows (multiple of S)
     u_rows: int            # required padded U rows (window clamp bound)
     v_rows: int
+    Rv: int = 0            # v window rows; 0 means "same as R" (legacy)
+
+    @property
+    def r_v(self) -> int:
+        return self.Rv or self.R
 
     @property
     def n_chunks(self) -> int:
@@ -112,7 +117,7 @@ jax.tree_util.register_dataclass(
     ChunkPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk", "uslot", "vslot",
                  "udma", "vdma"],
-    meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows"],
+    meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows", "Rv"],
 )
 
 
@@ -125,23 +130,31 @@ def build_chunk_plan(
     R: int = DEFAULT_R,
     S: int = DEFAULT_S,
     pad_chunks_to: Optional[int] = None,
+    Rv: Optional[int] = None,
 ) -> ChunkPlan:
     """Greedy chunker with dynamic operand windows: walk the (3, K)
     triple array (sorted by t; PAD_INDEX rows at the end are dropped) and
     cut chunks of at most C triples whose u / v index *ranges* stay below
-    R and whose t indices stay inside one aligned S window.
+    R / ``Rv`` and whose t indices stay inside one aligned S window.
+
+    ``Rv`` (default R) narrows the v operand's window independently —
+    useful when V is a much smaller array than U (edge values vs tuple
+    values): the kernel's v gather one-hot matmul is (C, Rv) @ (Rv, D),
+    so a narrower Rv cuts its FLOPs and VMEM without fragmenting chunks
+    on the u side.
 
     Inserts zero-work chunks for untouched output blocks (empty segments
     must come out 0) and optionally pads the chunk count to a stable
     size."""
     tuv = np.asarray(tuv)
+    Rv = R if Rv is None else Rv
     t, u, v = tuv[0], tuv[1], tuv[2]
     K = int(np.sum(t < PAD_INDEX))
     t = t[:K].astype(np.int64)
     u = u[:K].astype(np.int64)
     v = v[:K].astype(np.int64)
     assert out_rows % S == 0, "out_rows must be a multiple of S"
-    assert u_rows >= R and v_rows >= R, "operand rows must be >= R"
+    assert u_rows >= R and v_rows >= Rv, "operand rows must be >= R"
     assert np.all(np.diff(t) >= 0), "triples must be sorted by t"
 
     from .. import native as _native
@@ -150,15 +163,22 @@ def build_chunk_plan(
     # slack, snap the window base down to a coarse grid — nearby chunks
     # then share bases exactly and the kernel skips their window DMAs.
     # Chunking itself keeps the full R range (no extra fragmentation).
-    Q = max(R // 4, 8)
-    Reff = R
+    Qu = max(R // 4, 8)
+    Qv = max(Rv // 4, 8)
 
     host = _native.get()
     chunks = []  # (start, end, ubase, vbase, oblk)
-    if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn"):
+    if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn2"):
+        starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn2(
+            np.ascontiguousarray(t), np.ascontiguousarray(u),
+            np.ascontiguousarray(v), C, R, Rv, S)
+        chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
+                          vbs.tolist(), obs.tolist()))
+    elif host is not None and K > 0 and Rv == R and hasattr(
+            host, "chunk_bounds_dyn"):
         starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn(
             np.ascontiguousarray(t), np.ascontiguousarray(u),
-            np.ascontiguousarray(v), C, Reff, S)
+            np.ascontiguousarray(v), C, R, S)
         chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
                           vbs.tolist(), obs.tolist()))
     else:
@@ -170,7 +190,7 @@ def build_chunk_plan(
             umax = np.maximum.accumulate(u[sl])
             vmin = np.minimum.accumulate(v[sl])
             vmax = np.maximum.accumulate(v[sl])
-            ok = ((umax - umin < Reff) & (vmax - vmin < Reff)
+            ok = ((umax - umin < R) & (vmax - vmin < Rv)
                   & (t[sl] // S == t[start] // S))
             bad = np.nonzero(~ok)[0]
             end = start + (int(bad[0]) if len(bad) else (end_max - start))
@@ -179,15 +199,16 @@ def build_chunk_plan(
                            int(u[start:end].min()), int(v[start:end].min()),
                            int(t[start] // S)))
             start = end
-    # snap each base to the Q grid when the range still fits in R
-    def snap(lo_, hi_, rows):
-        q = (lo_ // Q) * Q
-        base = q if hi_ - q < R else lo_
-        return min(base, rows - R)
+    # snap each base to the Q grid when the range still fits in the window
+    def snap(lo_, hi_, rows, win, q_):
+        q = (lo_ // q_) * q_
+        base = q if hi_ - q < win else lo_
+        return min(base, rows - win)
 
     chunks = [(s0, e0,
-               snap(ub, int(u[s0:e0].max()) if e0 > s0 else ub, u_rows),
-               snap(vb, int(v[s0:e0].max()) if e0 > s0 else vb, v_rows),
+               snap(ub, int(u[s0:e0].max()) if e0 > s0 else ub, u_rows, R, Qu),
+               snap(vb, int(v[s0:e0].max()) if e0 > s0 else vb, v_rows, Rv,
+                    Qv),
                ob)
               for (s0, e0, ub, vb, ob) in chunks]
 
@@ -242,7 +263,8 @@ def build_chunk_plan(
     return ChunkPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         uslot=uslot, vslot=vslot, udma=udma, vdma=vdma,
-        C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows)
+        C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows,
+        Rv=Rv)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +282,7 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _fused_kernel(C: int, R: int, S: int, exact: bool):
+def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -278,7 +300,7 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool):
 
         def v_copy(chunk):
             return pltpu.make_async_copy(
-                v_hbm.at[pl.ds(vbase_ref[chunk], R)],
+                v_hbm.at[pl.ds(vbase_ref[chunk], Rv)],
                 vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
 
         @pl.when(i == 0)
@@ -310,7 +332,8 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool):
         iota_R = lax.broadcasted_iota(jnp.int32, (C, R), 1)
         onehot_u = jnp.where(u_loc[:, None] == iota_R,
                              1.0, 0.0).astype(jnp.bfloat16)
-        onehot_v = jnp.where(v_loc[:, None] == iota_R,
+        iota_Rv = lax.broadcasted_iota(jnp.int32, (C, Rv), 1)
+        onehot_v = jnp.where(v_loc[:, None] == iota_Rv,
                              1.0, 0.0).astype(jnp.bfloat16)
 
         uw = ubuf[uslot_ref[i]]
@@ -366,6 +389,7 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
     if U.dtype == jnp.bfloat16 or V.dtype == jnp.bfloat16:
         exact = False   # inputs already bf16: decomposition is a no-op
     C, R, S = plan.C, plan.R, plan.S
+    Rv = plan.r_v
     D = U.shape[-1]
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
         "operands must be padded to the plan's row counts")
@@ -388,19 +412,19 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
                                lambda i, ub, vb, ob, *refs: (ob[i], 0)),
         scratch_shapes=[
             pltpu.VMEM((2, R, D), U.dtype),
-            pltpu.VMEM((2, R, D), V.dtype),
+            pltpu.VMEM((2, Rv, D), V.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     passes = 3 if exact else 1
-    flops = 2 * n_chunks * passes * (2 * C * R * D + S * C * D)
+    flops = 2 * n_chunks * passes * (C * R * D + C * Rv * D + S * C * D)
     out = pl.pallas_call(
-        _fused_kernel(C, R, S, exact),
+        _fused_kernel(C, R, S, exact, Rv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=n_chunks * (2 * R + S) * D * 4,
+            bytes_accessed=n_chunks * (R + Rv + S) * D * 4,
             transcendentals=0),
         interpret=interpret,
     )(plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
@@ -462,11 +486,12 @@ def build_spspmm_plans_for(
     geoms: dict,
     pad_chunks_to: Optional[int] = None,
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
-    """build_spspmm_plans with an independent (C, R, S) per role —
-    ``geoms = {"fwd": (C,R,S), "dx": (C,R,S), "da": (C,R,S)}`` (from
-    autotune_spspmm_geoms or hand-picked).  The dX/dA operand padding
-    always covers the forward's padded output so the custom_vjp can feed
-    the cotangent straight through."""
+    """build_spspmm_plans with an independent geometry per role —
+    ``geoms = {"fwd": g, "dx": g, "da": g}`` where each g is (C, R, S)
+    or (C, R, S, Rv) (from autotune_spspmm_geoms or hand-picked; Rv
+    narrows the v-operand window independently of R).  The dX/dA operand
+    padding always covers the forward's padded output so the custom_vjp
+    can feed the cotangent straight through."""
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
     real = a < PAD_INDEX
@@ -475,23 +500,26 @@ def build_spspmm_plans_for(
     def rup(n, m):
         return max(((n + m - 1) // m) * m, m)
 
-    Cf, Rf, Sf = geoms["fwd"]
-    Cx, Rx, Sx = geoms["dx"]
-    Ca, Ra, Sa = geoms["da"]
+    def parse(g):
+        return g if len(g) == 4 else (g[0], g[1], g[2], g[1])
+
+    Cf, Rf, Sf, Rvf = parse(geoms["fwd"])
+    Cx, Rx, Sx, Rvx = parse(geoms["dx"])
+    Ca, Ra, Sa, Rva = parse(geoms["da"])
     fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, Rf),
-                           rup(a_rows, Rf), rup(out_rows, Sf), Cf, Rf, Sf,
-                           pad_chunks_to)
+                           rup(a_rows, Rvf), rup(out_rows, Sf), Cf, Rf, Sf,
+                           pad_chunks_to, Rv=Rvf)
     # the gradient-side "operand" is the cotangent g, whose row count is
     # the forward's padded OUTPUT (fwd.out_rows); window-pad that
     g_rows = fwd.out_rows
     o1 = np.argsort(c, kind="stable")
     dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, Rx),
-                          rup(a_rows, Rx), rup(x_rows, Sx), Cx, Rx, Sx,
-                          pad_chunks_to)
+                          rup(a_rows, Rvx), rup(x_rows, Sx), Cx, Rx, Sx,
+                          pad_chunks_to, Rv=Rvx)
     o2 = np.argsort(d, kind="stable")
     da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Ra),
-                          rup(g_rows, Ra), rup(a_rows, Sa), Ca, Ra, Sa,
-                          pad_chunks_to)
+                          rup(g_rows, Rva), rup(a_rows, Sa), Ca, Ra, Sa,
+                          pad_chunks_to, Rv=Rva)
     return fwd, dx, da
 
 
@@ -588,14 +616,16 @@ def estimate_plan_cost(plan: ChunkPlan, D: int, exact: bool = True,
     each; the scalar triple stream is read once.  ``exact`` triples the
     MXU passes (3-term bf16 decomposition)."""
     C, R, S = plan.C, plan.R, plan.S
+    Rv = plan.r_v
     passes = 3 if exact else 1
-    # two (C,R)@(R,D) gathers + one (S,C)@(C,D) scatter, per pass
-    mxu = passes * (2 * 2 * C * R * D + 2 * S * C * D) / _MXU_FLOPS
+    # (C,R)@(R,D) + (C,Rv)@(Rv,D) gathers + one (S,C)@(C,D) scatter, per pass
+    mxu = passes * (2 * C * (R + Rv) * D + 2 * S * C * D) / _MXU_FLOPS
     # one-hot construction is VPU-bound and independent of passes
-    vpu = (2 * C * R + S * C) / _VPU_FLOPS
+    vpu = (C * (R + Rv) + S * C) / _VPU_FLOPS
     t_comp = mxu + vpu
-    dma = np.asarray(plan.udma) + np.asarray(plan.vdma)      # 0..2 per chunk
-    t_dma = dma.astype(np.float64) * (R * D * itemsize / _HBM_BW)
+    t_dma = ((np.asarray(plan.udma).astype(np.float64) * R
+              + np.asarray(plan.vdma).astype(np.float64) * Rv)
+             * (D * itemsize / _HBM_BW))
     total = float(np.sum(np.maximum(t_dma, t_comp)))
     total += plan.out_rows * D * itemsize / _HBM_BW          # block spills
     total += plan.n_chunks * (3 * C + 8) * 4 / _HBM_BW       # triple stream
@@ -610,13 +640,20 @@ _GEOM_CANDIDATES = (
     (1024, 512, 1024), (1024, 768, 1024), (1024, 1024, 1024),
 )
 
+# narrower v-window candidates for the secondary Rv sweep (all sublane
+# aligned; 64 covers per-graph edge blocks on small molecular graphs)
+_RV_CANDIDATES = (64, 128, 192, 256, 384, 512)
+
 
 def autotune_geometry(tuv: np.ndarray, u_rows: int, v_rows: int,
                       out_rows: int, D: int, exact: bool = True,
                       candidates=None) -> Tuple[Tuple[int, int, int], float]:
-    """Pick the (C, R, S) minimizing estimate_plan_cost over REAL plans
+    """Pick the geometry minimizing estimate_plan_cost over REAL plans
     built for each candidate (host planning is cheap: the C++ chunker is
-    linear in the triple count).  Returns (geometry, predicted_seconds)."""
+    linear in the triple count).  After choosing (C, R, S), sweeps
+    narrower v windows — a smaller Rv shrinks the v gather matmul when
+    the v index locality allows it.  Returns
+    ((C, R, S, Rv), predicted_seconds)."""
 
     def rup(n, m):
         return max(((n + m - 1) // m) * m, m)
@@ -628,6 +665,17 @@ def autotune_geometry(tuv: np.ndarray, u_rows: int, v_rows: int,
         cost = estimate_plan_cost(plan, D, exact)
         if best is None or cost < best[1]:
             best = ((C, R, S), cost)
+    (C, R, S), cost = best
+    best = ((C, R, S, R), cost)
+    for Rv in _RV_CANDIDATES:
+        if Rv >= R:
+            continue
+        plan = build_chunk_plan(np.asarray(tuv), rup(u_rows, R),
+                                rup(v_rows, Rv), rup(out_rows, S), C, R, S,
+                                Rv=Rv)
+        cost = estimate_plan_cost(plan, D, exact)
+        if cost < best[1]:
+            best = ((C, R, S, Rv), cost)
     return best
 
 

@@ -167,6 +167,66 @@ static PyObject *chunk_bounds_dyn(PyObject *self, PyObject *args) {
   return out;
 }
 
+// chunk_bounds_dyn2(t, u, v, C, Ru, Rv, S): like chunk_bounds_dyn but
+// with independent u / v window sizes — the v operand (edge values) is
+// usually a much smaller array than the u operand (tuple values), so a
+// narrower Rv cuts the kernel's one-hot gather FLOPs without
+// fragmenting chunks on the u side.
+static PyObject *chunk_bounds_dyn2(PyObject *self, PyObject *args) {
+  PyArrayObject *t_arr, *u_arr, *v_arr;
+  long C, Ru, Rv, S;
+  if (!PyArg_ParseTuple(args, "O!O!O!llll", &PyArray_Type, &t_arr,
+                        &PyArray_Type, &u_arr, &PyArray_Type, &v_arr, &C, &Ru,
+                        &Rv, &S))
+    return nullptr;
+  if (PyArray_TYPE(t_arr) != NPY_INT64 || PyArray_TYPE(u_arr) != NPY_INT64 ||
+      PyArray_TYPE(v_arr) != NPY_INT64) {
+    PyErr_SetString(PyExc_TypeError, "expected int64 arrays");
+    return nullptr;
+  }
+  npy_intp K = PyArray_DIM(t_arr, 0);
+  const int64_t *t = (const int64_t *)PyArray_DATA(t_arr);
+  const int64_t *u = (const int64_t *)PyArray_DATA(u_arr);
+  const int64_t *v = (const int64_t *)PyArray_DATA(v_arr);
+
+  std::vector<int64_t> starts, ends, ub_v, vb_v, ob_v;
+  npy_intp start = 0;
+  while (start < K) {
+    int64_t ob = t[start] / S;
+    int64_t umin = u[start], umax = u[start];
+    int64_t vmin = v[start], vmax = v[start];
+    npy_intp end = start;
+    npy_intp end_max = start + C < K ? start + C : K;
+    while (end < end_max) {
+      int64_t numin = u[end] < umin ? u[end] : umin;
+      int64_t numax = u[end] > umax ? u[end] : umax;
+      int64_t nvmin = v[end] < vmin ? v[end] : vmin;
+      int64_t nvmax = v[end] > vmax ? v[end] : vmax;
+      if (numax - numin >= Ru || nvmax - nvmin >= Rv || t[end] / S != ob)
+        break;
+      umin = numin; umax = numax; vmin = nvmin; vmax = nvmax;
+      ++end;
+    }
+    if (end == start) ++end;  // always make progress (can't happen: row 0 fits)
+    starts.push_back(start);
+    ends.push_back(end);
+    ub_v.push_back(umin);
+    vb_v.push_back(vmin);
+    ob_v.push_back(ob);
+    start = end;
+  }
+
+  npy_intp n = (npy_intp)starts.size();
+  PyObject *out = PyTuple_New(5);
+  const std::vector<int64_t> *vecs[5] = {&starts, &ends, &ub_v, &vb_v, &ob_v};
+  for (int i = 0; i < 5; i++) {
+    PyArrayObject *a = (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT64);
+    memcpy(PyArray_DATA(a), vecs[i]->data(), n * sizeof(int64_t));
+    PyTuple_SET_ITEM(out, i, (PyObject *)a);
+  }
+  return out;
+}
+
 // sort_unique_inverse(x int64[K]) -> (unique_sorted, inverse)
 // std::sort-based unique with inverse mapping; ~5-8x faster than
 // np.unique(return_inverse=True) on multi-million-element arrays.
@@ -217,6 +277,8 @@ static PyMethodDef Methods[] = {
      "greedy chunk boundary walk for the fused kernel planner (aligned)"},
     {"chunk_bounds_dyn", chunk_bounds_dyn, METH_VARARGS,
      "greedy chunk boundary walk with dynamic operand windows"},
+    {"chunk_bounds_dyn2", chunk_bounds_dyn2, METH_VARARGS,
+     "dynamic-window chunk walk with independent u / v window sizes"},
     {"spspmm_join", spspmm_join, METH_VARARGS,
      "expand sorted interval matches into (c, d) pair arrays"},
     {nullptr, nullptr, 0, nullptr}};

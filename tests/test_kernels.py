@@ -306,3 +306,53 @@ def test_mamamm_channelwise_dim_variants(rng):
             b = b if dim2 == 1 else jnp.swapaxes(b, 1, 2)
             kern = channelwise_bmm(a, b, True)
             assert maxdiff(kern, ein.data) < 1e-4, (dim1, dim2)
+
+
+def test_narrow_rv_window_matches_xla(rng):
+    """Independent v window (Rv < R): plan via chunk_bounds_dyn2 must
+    produce the same contraction as the XLA path, forward and backward."""
+    X, A, acd_p = _case(rng)
+    from pygho_tpu.kernels import build_spspmm_plans_for
+    geoms = {"fwd": (256, 512, 256, 128), "dx": (256, 512, 256, 128),
+             "da": (256, 768, 256, 256)}
+    fwd, dxp, dap = build_spspmm_plans_for(acd_p, X.nnz_pad, A.nnz_pad,
+                                           X.nnz_pad, geoms)
+    assert fwd.r_v == 128 and fwd.R == 512
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+    out = fused_spspmm(X.values, A.values, fwd, dxp, dap, True)[: X.nnz_pad]
+    assert maxdiff(out, ref.values) < 1e-5
+
+    def loss_fused(xv, av):
+        return (fused_spspmm(xv, av, fwd, dxp, dap, True)[: X.nnz_pad]
+                ** 2).sum()
+
+    def loss_ref(xv, av):
+        X2 = SparseTensor(X.indices, xv, X.nnz, X.sparse_shape)
+        A2 = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+        return (spspmm(X2, 1, A2, 0, "sum", acd=jnp.asarray(acd_p),
+                       tarX=X2).values ** 2).sum()
+
+    g1 = jax.grad(loss_fused, (0, 1))(X.values, A.values)
+    g2 = jax.grad(loss_ref, (0, 1))(X.values, A.values)
+    assert maxdiff(g1[0], g2[0]) < 1e-4
+    assert maxdiff(g1[1], g2[1]) < 1e-4
+
+
+def test_chunk_bounds_dyn2_matches_numpy_fallback(rng):
+    """The C++ dyn2 walk and the numpy fallback cut identical plans."""
+    import importlib
+    fs = importlib.import_module("pygho_tpu.kernels.fused_spspmm")
+    from pygho_tpu import native
+    assert native.available() and hasattr(native.get(), "chunk_bounds_dyn2")
+    X, A, acd_p = _case(rng, n=30, density=0.6, nnz_pad=1024, acd_pad=8192)
+    kw = dict(C=128, R=256, S=128, Rv=96)
+    with_cpp = fs.build_chunk_plan(acd_p, 1024, 1024, 1024, **kw)
+    orig = native._mod
+    try:
+        native._mod = None
+        native._tried = True
+        no_cpp = fs.build_chunk_plan(acd_p, 1024, 1024, 1024, **kw)
+    finally:
+        native._mod = orig
+    for f in ("tuv_local", "ubase", "vbase", "oblk", "udma"):
+        assert np.array_equal(getattr(with_cpp, f), getattr(no_cpp, f)), f
