@@ -62,11 +62,11 @@ if args.fused:
 loaders = {
     "train": SpDataloader(datasets["train"].datas, args.bs, keys,
                           shuffle=True, drop_last=True,
-                          build_plans=args.fused),
+                          build_plans=args.fused, plan_dim=args.hiddim),
     "val": SpDataloader(datasets["val"].datas, args.bs, keys,
-                        build_plans=args.fused),
+                        build_plans=args.fused, plan_dim=args.hiddim),
     "test": SpDataloader(datasets["test"].datas, args.bs, keys,
-                         build_plans=args.fused),
+                         build_plans=args.fused, plan_dim=args.hiddim),
 }
 
 opt = make_optimizer(model, 1e-3)

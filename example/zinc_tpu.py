@@ -110,7 +110,7 @@ def run_once(rep: int) -> float:
             set_fused_math(False)
         mk = lambda split, **kw: SpDataloader(ds[split].datas, args.bs,
                                               keys, build_plans=args.fused,
-                                              **kw)
+                                              plan_dim=args.hiddim, **kw)
         train_step, eval_step = make_sparse_steps()
     else:
         mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)

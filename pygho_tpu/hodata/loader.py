@@ -139,15 +139,16 @@ class SpDataloader(_BaseLoader):
 
     ``build_plans=True`` additionally builds fused-kernel chunk plans for
     every precompute key (datadict["<key>___plan"]), enabling the Pallas
-    spspmm path on TPU.  ``plan_geometry=(C, R, S)`` overrides the chunk
-    shape; "auto" picks R from window-span percentiles; "autotune" runs
-    the roofline cost model per role (kernels.autotune_spspmm_geoms) on
-    the first batch — pass ``plan_dim`` = the model's hidden dim so the
-    compute/DMA balance matches what will actually run."""
+    spspmm path on TPU.  ``plan_geometry`` defaults to "autotune": the
+    roofline cost model picks a per-role (C, R, S, Rv) on the first batch
+    (kernels.autotune_spspmm_geoms) — pass ``plan_dim`` = the model's
+    hidden dim so the compute/DMA balance matches what will actually run.
+    ``(C, R, S)`` / None force a fixed geometry; "auto" picks R from
+    window-span percentiles only."""
 
     def __init__(self, dataset, batch_size: int, keys: Sequence[str] = ("",),
                  annotate: Sequence[str] = ("",), build_plans: bool = False,
-                 plan_geometry=None, plan_dim: int = 128, **kw):
+                 plan_geometry="autotune", plan_dim: int = 128, **kw):
         super().__init__(dataset, batch_size, **kw)
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
