@@ -676,6 +676,17 @@ def autotune_geometry(tuv: np.ndarray, u_rows: int, v_rows: int,
         cost = estimate_plan_cost(plan, D, exact)
         if cost < best[1]:
             best = ((C, R, S, Rv), cost)
+    # symmetric sweep on the u window with the chosen Rv held fixed
+    (C, R, S, Rv), cost = best
+    for Ru in _RV_CANDIDATES:
+        if Ru >= R:
+            continue
+        plan = build_chunk_plan(np.asarray(tuv), rup(u_rows, Ru),
+                                rup(v_rows, Rv), rup(out_rows, S), C, Ru, S,
+                                Rv=Rv)
+        cost = estimate_plan_cost(plan, D, exact)
+        if cost < best[1]:
+            best = ((C, Ru, S, Rv), cost)
     return best
 
 
