@@ -512,11 +512,15 @@ def build_spspmm_plans_for(
     # the gradient-side "operand" is the cotangent g, whose row count is
     # the forward's padded OUTPUT (fwd.out_rows); window-pad that
     g_rows = fwd.out_rows
-    o1 = np.argsort(c, kind="stable")
+    # secondary sort on the u operand: within a target run the triple
+    # order is free, and (target, u) order minimizes each chunk's u
+    # window span — the planner can then cut wider chunks / the Ru sweep
+    # can pick narrower windows
+    o1 = np.lexsort((a, c))
     dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, Rx),
                           rup(a_rows, Rvx), rup(x_rows, Sx), Cx, Rx, Sx,
                           pad_chunks_to, Rv=Rvx)
-    o2 = np.argsort(d, kind="stable")
+    o2 = np.lexsort((c, d))
     da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Ra),
                           rup(g_rows, Rva), rup(a_rows, Sa), Ca, Ra, Sa,
                           pad_chunks_to, Rv=Rva)
@@ -707,10 +711,10 @@ def autotune_spspmm_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
     g_fwd, _ = autotune_geometry(np.stack([a, c, d]), x_rows, a_rows,
                                  out_rows, D, exact, candidates)
     g_rows = rup(out_rows, g_fwd[2])
-    o1 = np.argsort(c, kind="stable")
+    o1 = np.lexsort((a, c))     # same (target, u) order the plan builder uses
     g_dx, _ = autotune_geometry(np.stack([c, a, d])[:, o1], g_rows, a_rows,
                                 x_rows, D, exact, candidates)
-    o2 = np.argsort(d, kind="stable")
+    o2 = np.lexsort((c, d))
     g_da, _ = autotune_geometry(np.stack([d, c, a])[:, o2], x_rows, g_rows,
                                 a_rows, D, exact, candidates)
     return {"fwd": g_fwd, "dx": g_dx, "da": g_da}
