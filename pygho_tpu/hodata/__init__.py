@@ -7,7 +7,7 @@ SparseTensor / MaskedTensor pytrees inside jit.
 """
 
 from .graph import Graph
-from .sp_sampler import KhopSampler, I2Sampler
+from .sp_sampler import KhopSampler, I2Sampler, k_hop_subgraph
 from .ma_sampler import spdsampler, rdsampler
 from .sp_data import sp_datapreprocess, collate_sparse, batch_to_sparse_dict
 from .ma_data import ma_datapreprocess, collate_dense, batch_to_dense_dict
@@ -16,7 +16,8 @@ from .loader import (SpDataloader, MaDataloader, Sppretransform,
 from .preprocess import ParallelPreprocessDataset
 
 __all__ = [
-    "Graph", "KhopSampler", "I2Sampler", "spdsampler", "rdsampler",
+    "Graph", "KhopSampler", "I2Sampler", "k_hop_subgraph",
+    "spdsampler", "rdsampler",
     "sp_datapreprocess", "collate_sparse", "batch_to_sparse_dict",
     "ma_datapreprocess", "collate_dense", "batch_to_dense_dict",
     "SpDataloader", "MaDataloader", "Sppretransform", "Mapretransform",

@@ -72,3 +72,64 @@ def I2Sampler(graph: Graph, hop: int = 3) -> Dict[str, np.ndarray]:
         "tupleshape": np.array([graph.num_nodes] * 3, dtype=np.int64),
         "pool2_seg": e_idx.astype(np.int64),
     }
+
+
+def k_hop_subgraph(
+    node_idx,
+    num_hops: int,
+    edge_index: np.ndarray,
+    relabel_nodes: bool = False,
+    num_nodes: int | None = None,
+    flow: str = "source_to_target",
+    directed: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """k-hop subgraph around root node(s), numpy-native (host side).
+
+    Same contract as the reference's public utility
+    (SpTupleSampler.py:12-88): returns
+    ``(subset, edge_index, inv, edge_mask, dist)`` where ``subset`` is the
+    sorted node ids reached within ``num_hops``, ``edge_index`` the edges
+    retained (all subset-internal edges when ``directed=False``; the last
+    BFS frontier's edges when ``directed=True``), ``inv`` positions of the
+    roots inside ``subset``, ``edge_mask`` the boolean edge filter, and
+    ``dist`` the hop distance of each subset node from the root set.
+    ``relabel_nodes`` remaps the returned edges onto ``range(len(subset))``.
+    """
+    edge_index = np.asarray(edge_index, dtype=np.int64)
+    if num_nodes is None:
+        num_nodes = int(edge_index.max()) + 1 if edge_index.size else 1
+    assert flow in ("source_to_target", "target_to_source")
+    if flow == "target_to_source":
+        row, col = edge_index[0], edge_index[1]
+    else:
+        col, row = edge_index[0], edge_index[1]
+
+    roots = np.atleast_1d(np.asarray(node_idx, dtype=np.int64)).ravel()
+    subsets = [roots]
+    edge_mask = np.zeros(row.shape[0], dtype=bool)
+    node_mask = np.zeros(num_nodes, dtype=bool)
+    for _ in range(num_hops):
+        node_mask[:] = False
+        node_mask[subsets[-1]] = True
+        edge_mask = node_mask[row]
+        subsets.append(col[edge_mask])
+
+    # distance = smallest hop index that reaches the node
+    dist = np.full(num_nodes, num_nodes + 1, dtype=np.int64)
+    for h in range(num_hops, -1, -1):
+        dist[subsets[h]] = h
+
+    subset, inv_all = np.unique(np.concatenate(subsets), return_inverse=True)
+    inv = inv_all[: roots.shape[0]]
+    dist = dist[subset]
+
+    if not directed:
+        node_mask[:] = False
+        node_mask[subset] = True
+        edge_mask = node_mask[row] & node_mask[col]
+    out_edges = edge_index[:, edge_mask]
+    if relabel_nodes:
+        remap = np.full(num_nodes, -1, dtype=np.int64)
+        remap[subset] = np.arange(subset.shape[0], dtype=np.int64)
+        out_edges = remap[out_edges]
+    return subset, out_edges, inv, edge_mask, dist

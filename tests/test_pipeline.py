@@ -196,3 +196,40 @@ def test_multi_annotate_pipeline(rng):
     assert int(dd["X2"].nnz) > int(dd["X1"].nnz)
     # acd for the annotated key exists and is padded
     assert batch[f"{keyA}{KEYSEP}acd"].shape[0] == 3
+
+
+def test_k_hop_subgraph_matches_spd_oracle():
+    """k_hop_subgraph vs an independent scipy shortest-path oracle."""
+    import scipy.sparse as ssp
+    from pygho_tpu.hodata.sp_sampler import k_hop_subgraph
+
+    rng = np.random.default_rng(3)
+    n = 30
+    dense = (rng.random((n, n)) > 0.85)
+    dense = dense | dense.T
+    np.fill_diagonal(dense, False)
+    src, dst = np.nonzero(dense)
+    ei = np.stack([src, dst]).astype(np.int64)
+    spd = ssp.csgraph.shortest_path(ssp.csr_matrix(dense), directed=False,
+                                    unweighted=True)
+    for root in (0, 7, [2, 11]):
+        for hop in (1, 2, 3):
+            subset, sub_ei, inv, emask, dist = k_hop_subgraph(
+                root, hop, ei, num_nodes=n)
+            roots = np.atleast_1d(np.asarray(root))
+            d_oracle = spd[roots].min(axis=0)
+            expect = np.sort(np.nonzero(d_oracle <= hop)[0])
+            assert np.array_equal(subset, expect)
+            assert np.array_equal(dist, d_oracle[subset].astype(np.int64))
+            assert np.array_equal(subset[inv], roots)
+            # undirected: retained edges = both endpoints in subset
+            in_sub = np.isin(ei[0], subset) & np.isin(ei[1], subset)
+            assert np.array_equal(emask, in_sub)
+            assert np.array_equal(sub_ei, ei[:, in_sub])
+    # relabel: edges map onto range(len(subset))
+    subset, sub_ei, _, _, _ = k_hop_subgraph(0, 2, ei, relabel_nodes=True,
+                                             num_nodes=n)
+    if sub_ei.size:
+        assert sub_ei.max() < subset.shape[0] and sub_ei.min() >= 0
+        assert np.array_equal(subset[sub_ei],
+                              k_hop_subgraph(0, 2, ei, num_nodes=n)[1])
