@@ -297,3 +297,137 @@ def test_mamamm_parity(rng):
         MaskedTensor(jnp.asarray(X2), jnp.asarray(mask)), 1,
         jnp.asarray(mask)).data)
     assert maxdiff(got, ref) < 1e-4
+
+
+def test_spsphadamard_parity(rng):
+    """spsphadamard vs reference (result on B's pattern)."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    refA = RefSparse(torch.tensor(edges), torch.tensor(Aval), (n, n, d))
+    refX = RefSparse(torch.tensor(tup), torch.tensor(Xval), (n, n, d))
+    ref = RefSpspmm.spsphadamard(refX, refA)
+
+    from pygho_tpu.backend.spspmm import spsphadamard
+
+    A = SparseTensor.from_numpy(edges, Aval, (n, n), nnz_pad=256)
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), nnz_pad=256)
+    nnzA = edges.shape[1]
+    b2a = indexing.spsphadamard_ind(tup, edges)  # B(A) rows -> pos in X
+    b2a_pad = np.full(256, -1, np.int64)
+    b2a_pad[:nnzA] = b2a
+    out = spsphadamard(X, A, jnp.asarray(b2a_pad))
+    # ours keeps B's pattern with explicit zeros; the reference compacts
+    # to the matched rows — compare there
+    m = b2a >= 0
+    assert np.array_equal(np.asarray(out.indices)[:, :nnzA][:, m],
+                          ref.indices.numpy())
+    assert maxdiff(np.asarray(out.values)[:nnzA][m],
+                   ref.values.numpy()) < TOL
+    assert np.all(np.asarray(out.values)[:nnzA][~m] == 0)
+
+
+def test_diag_to_dense_parity(rng):
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    refX = RefSparse(torch.tensor(tup), torch.tensor(Xval), (n, n, d))
+    ref = refX.diag(None).numpy()
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), nnz_pad=256)
+    ours = np.asarray(X.diag(None))
+    assert maxdiff(ours, ref) < TOL
+
+
+def test_unpooling_parity(rng):
+    """Sparse unpooling of a dim-1-reduced tensor back onto the tuple
+    pattern, vs the reference's searchsorted broadcast."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    refX = RefSparse(torch.tensor(tup), torch.tensor(Xval), (n, n, d))
+    ref_red = refX.sum([1], return_sparse=True)
+    ref = ref_red.unpooling([1], refX)
+
+    # host-side reduced tensor (unique remaining index + segment sum)
+    roots, seg = np.unique(tup[0], return_inverse=True)
+    red_val = np.zeros((roots.shape[0], d), np.float32)
+    np.add.at(red_val, seg, Xval)
+    red = SparseTensor.from_numpy(roots[None, :], red_val, (n,), nnz_pad=64)
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), nnz_pad=256)
+    b2a = indexing.spsphadamard_ind(
+        np.asarray(red.indices)[:, : roots.shape[0]], tup[:1])
+    b2a_pad = np.full(X.nnz_pad, -1, np.int64)
+    b2a_pad[: tup.shape[1]] = b2a
+    out = red.unpooling([1], X, b2a=jnp.asarray(b2a_pad))
+    nnz = tup.shape[1]
+    assert np.array_equal(np.asarray(out.indices)[:, :nnz],
+                          ref.indices.numpy())
+    assert maxdiff(np.asarray(out.values)[:nnz], ref.values.numpy()) < TOL
+
+
+def test_unpooling_fromdense1dim_parity(rng):
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    dense = rng.normal(size=(n, d)).astype(np.float32)
+    refX = RefSparse(torch.tensor(tup), torch.tensor(Xval), (n, n, d))
+    ref = refX.unpooling_fromdense1dim(0, torch.tensor(dense))
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), nnz_pad=256)
+    out = X.unpooling_fromdense1dim(0, jnp.asarray(dense))
+    nnz = tup.shape[1]
+    assert maxdiff(np.asarray(out.values)[:nnz], ref.values.numpy()) < TOL
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max"])
+def test_reduce_to_dense_parity(rng, reduce):
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    refX = RefSparse(torch.tensor(tup), torch.tensor(Xval), (n, n, d))
+    ref = getattr(refX, reduce)([1], return_sparse=False).numpy()
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), nnz_pad=256)
+    ours = np.asarray(getattr(X, reduce)([1]))
+    assert maxdiff(ours[: ref.shape[0]], ref) < TOL
+
+
+def _shim_torch_geometric_full():
+    """Stub every torch_geometric submodule pygho.hodata imports (the
+    reference's own k_hop_subgraph body is torch-pure)."""
+    import types
+
+    def mod(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        m.__path__ = []
+        sys.modules[name] = m
+        return m
+
+    def maybe_num_nodes(ei, n=None):
+        return n if n is not None else int(ei.max()) + 1
+
+    mod("torch_geometric.data", Data=object, Batch=object, Dataset=object,
+        InMemoryDataset=object)
+    mod("torch_geometric.data.data", BaseData=object)
+    mod("torch_geometric.data.datapipes", DatasetAdapter=object)
+    mod("torch_geometric.loader", DataLoader=object)
+    mod("torch_geometric.transforms", Compose=object)
+    mod("torch_geometric.utils", to_scipy_sparse_matrix=None,
+        k_hop_subgraph=None, coalesce=None)
+    mod("torch_geometric.utils.num_nodes", maybe_num_nodes=maybe_num_nodes)
+    mod("pqdm")
+    mod("pqdm.processes", pqdm=None)
+    mod("tqdm", tqdm=lambda x, *a, **k: x)
+
+
+def test_k_hop_subgraph_reference_parity(rng):
+    """Our numpy k_hop_subgraph vs the reference's torch implementation,
+    all five outputs, incl. the directed=True last-frontier quirk."""
+    _shim_torch_geometric_full()
+    from pygho.hodata.SpTupleSampler import k_hop_subgraph as ref_khop
+    from pygho_tpu.hodata.sp_sampler import k_hop_subgraph
+
+    edges, _, _, _, n, _ = _instance(rng)
+    tei = torch.tensor(edges)
+    for root in (0, 5, [1, 4]):
+        for hop in (1, 2, 3):
+            for directed in (False, True):
+                for flow in ("source_to_target", "target_to_source"):
+                    r = ref_khop(root, hop, tei, relabel_nodes=True,
+                                 num_nodes=n, flow=flow, directed=directed)
+                    o = k_hop_subgraph(root, hop, edges, relabel_nodes=True,
+                                       num_nodes=n, flow=flow,
+                                       directed=directed)
+                    for i, (a, b) in enumerate(zip(r, o)):
+                        assert np.array_equal(a.numpy(), b), (
+                            root, hop, directed, flow, i)
