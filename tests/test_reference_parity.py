@@ -431,3 +431,68 @@ def test_k_hop_subgraph_reference_parity(rng):
                     for i, (a, b) in enumerate(zip(r, o)):
                         assert np.array_equal(a.numpy(), b), (
                             root, hop, directed, flow, i)
+
+
+def _ma_instance(rng, b=3, n=7, d=5):
+    data = rng.normal(size=(b, n, n, d)).astype(np.float32)
+    mask = rng.random((b, n, n)) > 0.3
+    return data, mask
+
+
+def test_masked_diag_unpooling_parity(rng):
+    """MaskedTensor diag / unpooling / diagonalapply vs the reference."""
+    from pygho.backend.MaTensor import MaskedTensor as RefMasked
+    from pygho_tpu.backend.matensor import MaskedTensor
+
+    data, mask = _ma_instance(rng)
+    ref = RefMasked(torch.tensor(data), torch.tensor(mask))
+    ours = MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+
+    # NOTE the reference's padvalue bookkeeping makes fill_masked(0.0) a
+    # no-op on freshly built tensors (masked slots hold raw data), so all
+    # comparisons are at valid positions only
+    def valid(ref_mt, our_mt):
+        rm = ref_mt.mask.numpy()
+        assert np.array_equal(np.asarray(our_mt.mask), rm)
+        return (ref_mt.data.numpy()[rm],
+                np.asarray(our_mt.fill_masked(0.0))[rm])
+
+    rd = ref.diag([1, 2])
+    od = ours.diag([1, 2])
+    a, b = valid(rd, od)
+    assert maxdiff(b, a) < TOL
+
+    ru = rd.unpooling([2], ref)
+    ou = od.unpooling([2], ours)
+    a, b = valid(ru, ou)
+    assert maxdiff(b, a) < TOL
+
+    rda = ref.diagonalapply(
+        lambda x, t: x + t.unsqueeze(-1).to(torch.float32))
+    oda = ours.diagonalapply(lambda x, t: x + t[..., None].astype(jnp.float32))
+    a, b = valid(rda, oda)
+    assert maxdiff(b, a) < TOL
+
+
+def test_masked_add_catvalue_parity(rng):
+    from pygho.backend.MaTensor import MaskedTensor as RefMasked
+    from pygho_tpu.backend.matensor import MaskedTensor
+
+    data, mask = _ma_instance(rng)
+    data2, _ = _ma_instance(rng)
+    ref1 = RefMasked(torch.tensor(data), torch.tensor(mask))
+    ref2 = RefMasked(torch.tensor(data2), torch.tensor(mask))
+    o1 = MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+    o2 = MaskedTensor(jnp.asarray(data2), jnp.asarray(mask))
+
+    ra = ref1.add(ref2, True)
+    oa = o1.add(o2, True)
+    rm = ra.mask.numpy()
+    assert maxdiff(np.asarray(oa.fill_masked(0.0))[rm],
+                   ra.data.numpy()[rm]) < TOL
+
+    rc = ref1.catvalue([ref2], True)
+    oc = o1.catvalue([o2], True)
+    rm = rc.mask.numpy()
+    assert maxdiff(np.asarray(oc.fill_masked(0.0))[rm],
+                   rc.data.numpy()[rm]) < TOL
