@@ -3,9 +3,12 @@ sparse contraction.
 
 The reference has no distributed support at all (SURVEY.md §2.7); this
 subsystem is net-new design per BASELINE.json:
-- mesh axes ("dp", "sp"): data-parallel over graphs first (graphs are
-  independent blocks of the block-diagonal batch), then tuple/edge
-  partitioning of the contraction triples for single-giant-graph scaling.
+- mesh axes ("dp", "sp", "tp"): data-parallel over graphs first (graphs
+  are independent blocks of the block-diagonal batch), tuple/edge
+  partitioning of the contraction triples for single-giant-graph scaling,
+  and channel (tensor) parallelism over the hidden dim — the contraction
+  is elementwise in d, so tp communication is only the MLP psums GSPMD
+  inserts.
 - All communication is XLA collectives over ICI (psum / all_gather /
   ppermute inside shard_map) — never host-driven.
 """
@@ -24,6 +27,8 @@ from .tuple_parallel import (spspmm_tuple_parallel,
                              choose_partitioned_spspmm)
 from .giant import (build_giant_graph_plan, init_giant_params,
                     make_giant_graph_step)
+from .tensor_parallel import (tp_state_shardings, make_tp_train_step,
+                              make_tp_eval_step)
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
@@ -35,4 +40,5 @@ __all__ = [
     "plan_exchange_volumes",
     "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
+    "tp_state_shardings", "make_tp_train_step", "make_tp_eval_step",
 ]

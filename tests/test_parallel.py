@@ -322,3 +322,50 @@ def test_scatter_prereduction_wins_on_concentrated_fanin(rng):
     vols = plan_exchange_volumes(acd_p, nnz_pad, P)
     assert vols["scatter"] < vols["overlapped"], vols
     assert vols["scatter"] == P * 1 and vols["overlapped"] == P * 8
+
+
+def test_tensor_parallel_matches_single_device():
+    """Channel-sharded (tp) train step: loss trajectory and eval match
+    the single-device step (reduction-order tolerance; adam's rsqrt
+    amplifies psum reorder noise in raw params, so parity is checked on
+    the observable trajectory)."""
+    import jax
+    from flax import nnx
+
+    from pygho_tpu.hodata import Sppretransform, collate_sparse
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+    from pygho_tpu.models.training import make_optimizer, make_sparse_steps
+    from pygho_tpu.parallel import (make_mesh, make_tp_train_step,
+                                    make_tp_eval_step)
+
+    mk = lambda: make_sp_model("NGNN", num_layer=2, hiddim=16, seed=0,
+                               mlp={"norm": "bn", "act": "silu"})
+    model = mk()
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=8, seed=7)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g) for g in graphs]
+    batch = collate_sparse(datas, keys, num_graphs=8)
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+
+    m1, o1 = mk(), None
+    o1 = make_optimizer(m1, 1e-3)
+    train1, eval1 = make_sparse_steps()
+    losses1 = [float(train1(m1, o1, batch)) for _ in range(4)]
+    m1.eval()   # the tp eval step runs eval-mode BN; match it
+    ev1 = np.asarray(eval1(m1, batch))
+
+    mesh = make_mesh((4,), ("tp",), devices=jax.devices()[:4])
+    m2 = mk()
+    o2 = make_optimizer(m2, 1e-3)
+    graphdef, state = nnx.split((m2, o2))
+    step, state = make_tp_train_step(mesh, graphdef, state)
+    losses2 = []
+    for _ in range(4):
+        state, loss = step(state, batch)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, atol=2e-4)
+    ev2 = np.asarray(make_tp_eval_step(mesh, graphdef, state)(state, batch))
+    np.testing.assert_allclose(ev1, ev2, atol=2e-3)
