@@ -3,12 +3,14 @@ sparse contraction.
 
 The reference has no distributed support at all (SURVEY.md §2.7); this
 subsystem is net-new design per BASELINE.json:
-- mesh axes ("dp", "sp", "tp"): data-parallel over graphs first (graphs
+- mesh axes ("dp", "sp", "tp", "pp"): data-parallel over graphs first (graphs
   are independent blocks of the block-diagonal batch), tuple/edge
   partitioning of the contraction triples for single-giant-graph scaling,
-  and channel (tensor) parallelism over the hidden dim — the contraction
+  channel (tensor) parallelism over the hidden dim — the contraction
   is elementwise in d, so tp communication is only the MLP psums GSPMD
-  inserts.
+  inserts — and GPipe-style layer pipelining ("pp"): microbatches flow
+  through layer stages via lax.ppermute, differentiated straight through
+  (the backward pass is the reverse pipeline).
 - All communication is XLA collectives over ICI (psum / all_gather /
   ppermute inside shard_map) — never host-driven.
 """
@@ -29,6 +31,8 @@ from .giant import (build_giant_graph_plan, init_giant_params,
                     make_giant_graph_step)
 from .tensor_parallel import (tp_state_shardings, make_tp_train_step,
                               make_tp_eval_step)
+from .pipeline import (build_pipeline_plan, init_pipeline_params,
+                       make_pipeline_step)
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
@@ -41,4 +45,5 @@ __all__ = [
     "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
     "tp_state_shardings", "make_tp_train_step", "make_tp_eval_step",
+    "build_pipeline_plan", "init_pipeline_params", "make_pipeline_step",
 ]

@@ -369,3 +369,68 @@ def test_tensor_parallel_matches_single_device():
     np.testing.assert_allclose(losses1, losses2, atol=2e-4)
     ev2 = np.asarray(make_tp_eval_step(mesh, graphdef, state)(state, batch))
     np.testing.assert_allclose(ev1, ev2, atol=2e-3)
+
+
+def test_pipeline_parallel_matches_sequential_stack():
+    """GPipe pipeline over "pp": loss and one-step SGD update match the
+    sequential single-device stack exactly (same floats modulo scan
+    ordering), and training decreases the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygho_tpu.hodata import Sppretransform, collate_sparse
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+    from pygho_tpu.parallel import (make_mesh, build_pipeline_plan,
+                                    init_pipeline_params,
+                                    make_pipeline_step)
+    from pygho_tpu.parallel.pipeline import reference_stack_loss
+
+    model = make_sp_model("NGNN", num_layer=2, hiddim=16)
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=12, seed=3)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g) for g in graphs]
+    M, G = 3, 4
+    buckets = {}
+    mk = lambda: [collate_sparse(datas[m * G:(m + 1) * G], keys,
+                                 num_graphs=G, buckets=buckets)
+                  for m in range(M)]
+    mk()                   # size pass grows the shared buckets
+    batches = mk()         # identical padded shapes
+    plan = build_pipeline_plan(batches, keys[0])
+
+    rng = np.random.default_rng(0)
+    D = 16
+    Xstack = jnp.asarray(
+        rng.normal(size=(M, plan.nnz_pad, D)).astype(np.float32))
+    Avstack = jnp.asarray(
+        rng.normal(size=(M, plan.e_pad, D)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(M, G)).astype(np.float32))
+    gmask = jnp.asarray(np.stack(
+        [np.asarray(b["graph_mask"]) for b in batches])).astype(jnp.float32)
+
+    Pn, lr = 4, 1e-5
+    params = init_pipeline_params(Pn, 2, D, seed=1)
+    mesh = make_mesh((Pn,), ("pp",), devices=jax.devices()[:Pn])
+    loss_fn, step = make_pipeline_step(mesh, plan, Pn, lr=lr)
+
+    l_pipe = float(loss_fn(params, Xstack, Avstack, y, gmask))
+    l_ref = float(reference_stack_loss(params, plan, Xstack, Avstack, y,
+                                       gmask))
+    assert abs(l_pipe - l_ref) < 1e-4 * max(1.0, abs(l_ref))
+
+    p2, l2 = step(params, Xstack, Avstack, y, gmask)
+    g_ref = jax.grad(lambda p: reference_stack_loss(
+        p, plan, Xstack, Avstack, y, gmask))(params)
+    p_ref = jax.tree.map(lambda p, g: p - lr * g, params, g_ref)
+    md = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p2, p_ref)))
+    assert md < 1e-5, md
+
+    losses = [float(l2)]
+    for _ in range(4):
+        p2, l = step(p2, Xstack, Avstack, y, gmask)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
