@@ -44,6 +44,10 @@ parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
+parser.add_argument("--ddp", type=int, default=0,
+                    help="data-parallel over N devices (sparse): shard_map "
+                         "train step with pmean'd grads/BN stats; eval runs "
+                         "single-device on the synced state")
 parser.add_argument("--chained", action="store_true",
                     help="whole-epoch lax.scan training/eval: one device "
                          "dispatch per padding bucket per epoch — wins when "
@@ -53,6 +57,14 @@ args = parser.parse_args()
 if args.conv == "NGAT" and not args.sparse:
     parser.error("NGAT is sparse-only (spspmpnn attention path); "
                  "add --sparse")
+
+import os
+
+if args.cpu and args.ddp > 1:
+    # virtual host devices must be configured before jax initializes
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{args.ddp}").strip()
 
 import jax
 
@@ -117,6 +129,17 @@ def run_once(rep: int) -> float:
         train_step, eval_step = make_dense_steps()
     loaders = {"train": mk("train", shuffle=True, drop_last=True),
                "val": mk("val"), "test": mk("test")}
+    if args.ddp > 1:
+        assert args.sparse and not args.chained, (
+            "--ddp is the sparse shard_map path; --chained composes "
+            "per-device batches instead")
+        from flax import nnx
+        from pygho_tpu.parallel import (make_mesh, collate_sharded_sparse,
+                                        make_dp_train_step)
+
+        assert args.bs % args.ddp == 0, "--bs must divide by --ddp"
+        mesh = make_mesh((args.ddp,), ("dp",),
+                         devices=jax.devices()[: args.ddp])
     if args.chained:
         mode = "sparse" if args.sparse else "dense"
         _, scan_fn = make_chained_train(mode=mode)
@@ -129,12 +152,33 @@ def run_once(rep: int) -> float:
                                  args.minlr, args.K, args.K2)
     opt = make_optimizer(model, sched, args.wd)
     metrics = MetricsLogger(f"runs/zinc_{tag}_r{rep}.jsonl")
+    if args.ddp > 1:
+        graphdef, dp_state = nnx.split((model, opt))
+        dp_train = make_dp_train_step(mesh, graphdef)
+        dp_rng = np.random.default_rng(rep)
+        dp_buckets = {}
+
+        def dp_epoch():
+            nonlocal dp_state
+            datas, per = ds["train"].datas, args.bs // args.ddp
+            order = dp_rng.permutation(len(datas))
+            losses = []
+            for i in range(0, len(datas) - args.bs + 1, args.bs):
+                chunk = [datas[j] for j in order[i:i + args.bs]]
+                sb = collate_sharded_sparse(chunk, args.ddp, per, keys,
+                                            buckets=dp_buckets)
+                dp_state, loss = dp_train(dp_state, sb)
+                losses.append(loss)
+            nnx.update((model, opt), dp_state)   # sync for eval
+            return float(np.mean([float(l) for l in losses]))
 
     best_val, tst = float("inf"), float("inf")
     for epoch in range(1, args.epochs + 1):
         t1 = time.time()
         model.train()
-        if args.chained:
+        if args.ddp > 1:
+            loss = dp_epoch()
+        elif args.chained:
             stacked = group_stack_batches(list(loaders["train"]))
             loss = float(np.mean(np.concatenate(
                 [np.asarray(scan_fn(model, opt, g)) for g in stacked])))
