@@ -12,10 +12,11 @@ from .ma_sampler import spdsampler, rdsampler
 from .sp_data import sp_datapreprocess, collate_sparse, batch_to_sparse_dict
 from .ma_data import ma_datapreprocess, collate_dense, batch_to_dense_dict
 from .loader import (SpDataloader, MaDataloader, Sppretransform,
-                     Mapretransform)
+                     Mapretransform, padding_stats)
 from .preprocess import ParallelPreprocessDataset
 
 __all__ = [
+    "padding_stats",
     "Graph", "KhopSampler", "I2Sampler", "k_hop_subgraph",
     "spdsampler", "rdsampler",
     "sp_datapreprocess", "collate_sparse", "batch_to_sparse_dict",

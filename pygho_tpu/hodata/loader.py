@@ -252,3 +252,32 @@ class MaDataloader(_BaseLoader):
         return collate_dense(datas, self.annotate,
                              num_graphs=self.batch_size,
                              buckets=self.buckets, denseadj=self.denseadj)
+
+
+def padding_stats(batch: Dict[str, Any]) -> Dict[str, Dict[str, float]]:
+    """Padding-waste report for one collated sparse batch (SURVEY.md §7.2
+    hard part #1: bucketed static shapes target < ~25% waste per array).
+
+    Returns ``{name: {"real": r, "padded": p, "waste": 1 - r/p}}`` for the
+    node/edge/tuple/acd arrays present in the batch."""
+    from ..backend.indexing import PAD_INDEX
+
+    out: Dict[str, Dict[str, float]] = {}
+
+    def rec(name, real, padded):
+        real, padded = int(real), int(padded)
+        out[name] = {"real": real, "padded": padded,
+                     "waste": 1.0 - real / max(padded, 1)}
+
+    if "num_nodes" in batch:
+        rec("nodes", batch["num_nodes"], batch["x"].shape[0])
+    if "num_edges" in batch:
+        rec("edges", batch["num_edges"], batch["edge_index"].shape[1])
+    for k in batch:
+        if k.startswith("num_tuples"):
+            ann = k[len("num_tuples"):]
+            rec(f"tuples{ann}", batch[k], batch[f"tupleid{ann}"].shape[1])
+        if k.endswith("___acd"):
+            a = np.asarray(batch[k][0])
+            rec(k, int(np.sum(a < PAD_INDEX)), a.shape[0])
+    return out

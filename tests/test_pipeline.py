@@ -233,3 +233,28 @@ def test_k_hop_subgraph_matches_spd_oracle():
         assert sub_ei.max() < subset.shape[0] and sub_ei.min() >= 0
         assert np.array_equal(subset[sub_ei],
                               k_hop_subgraph(0, 2, ei, num_nodes=n)[1])
+
+
+def test_padding_stats_reports_bucket_waste():
+    from functools import partial
+
+    from pygho_tpu.hodata import (Sppretransform, SpDataloader,
+                                  padding_stats)
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+
+    model = make_sp_model("NGNN", num_layer=1, hiddim=16)
+    keys = parse_precomputekey(model)
+    datas = [Sppretransform(partial(KhopSampler, hop=2), [""], keys)(g)
+             for g in synthetic_zinc("train", 32)]
+    dl = SpDataloader(datas, 16, keys, device_put=False, prefetch=0)
+    stats = padding_stats(next(iter(dl)))
+    for name in ("nodes", "edges", "tuples"):
+        assert name in stats, stats.keys()
+    for name, st in stats.items():
+        assert st["real"] <= st["padded"], (name, st)
+        # the bucket policy bounds waste at < ~25% (+1 graph of slack for
+        # the batch remainder)
+        assert st["waste"] < 0.35, (name, st)
