@@ -1,5 +1,11 @@
 """Data-parallel training over a "dp" mesh axis.
 
+Only the dp axis is manual in the shard_map (``axis_names``); any other
+mesh axes stay under GSPMD control, so dp composes with tensor
+parallelism on a 2-D ("dp", "tp") mesh — place the state with
+tensor_parallel.tp_state_shardings and jit propagates it through the
+step (tests/test_parallel.py::test_dp_tp_composition).
+
 Graphs are independent blocks of the block-diagonal sparse batch, so DP
 sharding is exact: the loader collates one sub-batch per device (leading
 axis D), shard_map runs the per-device step, gradients and batch-norm
@@ -125,6 +131,7 @@ def make_dp_train_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
             in_specs=(P(), jax.tree.map(lambda _: P(axis), batch)),
             out_specs=(P(), P()),
             check_vma=False,
+            axis_names=frozenset({axis}),
         )
         return body(state, batch)
 
@@ -151,6 +158,7 @@ def make_dp_eval_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
             in_specs=(P(), jax.tree.map(lambda _: P(axis), batch)),
             out_specs=P(),
             check_vma=False,
+            axis_names=frozenset({axis}),
         )
         return body(state, batch)
 

@@ -434,3 +434,39 @@ def test_pipeline_parallel_matches_sequential_stack():
         p2, l = step(p2, Xstack, Avstack, y, gmask)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_dp_tp_composition():
+    """2-D (dp, tp) mesh: dp shard_map over graphs composes with GSPMD
+    channel sharding of the state — losses match the dp-only step."""
+    import jax
+    from pygho_tpu.parallel.tensor_parallel import tp_state_shardings
+
+    mk = lambda: make_sp_model("NGNN", num_layer=2, hiddim=16, seed=0,
+                               mlp={"norm": "bn", "act": "silu"})
+    model = mk()
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=8, seed=7)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g) for g in graphs]
+    buckets = {}
+    batch = collate_sharded_sparse(datas, 4, 2, keys, buckets=buckets)
+
+    def run(mesh, specs=None):
+        m = mk()
+        o = make_optimizer(m, 1e-3)
+        graphdef, state = nnx.split((m, o))
+        if specs is not None:
+            state = jax.device_put(state, specs(state))
+        train = make_dp_train_step(mesh, graphdef)
+        out = []
+        for _ in range(3):
+            state, loss = train(state, batch)
+            out.append(float(loss))
+        return out
+
+    mesh_dp = make_mesh((4,), ("dp",), devices=jax.devices()[:4])
+    l_dp = run(mesh_dp)
+
+    mesh_2d = make_mesh((4, 2), ("dp", "tp"))
+    l_2d = run(mesh_2d, specs=lambda s: tp_state_shardings(s, mesh_2d, "tp"))
+    np.testing.assert_allclose(l_dp, l_2d, atol=2e-4)
