@@ -25,6 +25,8 @@ from .tuple_parallel import (spspmm_tuple_parallel,
                              make_overlapped_spspmm,
                              build_scatter_shard_plan, make_scatter_spspmm,
                              build_ring_shard_plan, make_ring_spspmm,
+                             build_reduce_scatter_shard_plan,
+                             make_reduce_scatter_spspmm,
                              plan_exchange_volumes,
                              choose_partitioned_spspmm)
 from .giant import (build_giant_graph_plan, init_giant_params,
@@ -41,6 +43,7 @@ __all__ = [
     "make_partitioned_spspmm", "build_overlapped_shard_plan",
     "make_overlapped_spspmm", "build_scatter_shard_plan",
     "make_scatter_spspmm", "build_ring_shard_plan", "make_ring_spspmm",
+    "build_reduce_scatter_shard_plan", "make_reduce_scatter_spspmm",
     "plan_exchange_volumes",
     "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",

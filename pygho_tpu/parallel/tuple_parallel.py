@@ -671,12 +671,95 @@ def make_ring_spspmm(mesh: Mesh, plan: RingShardPlan, axis: str = "sp"):
     return jax.jit(run)
 
 
+# ---------------------------------------------------------------------------
+# v6: reduce_scatter over ownership bands
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ReduceScatterShardPlan:
+    """Input-stationary triples + ``psum_scatter`` over ownership bands
+    (ROADMAP #1).  Each device keeps its own X block, contracts ALL of
+    its triples into a full-range (P*B) partial output, and one
+    reduce_scatter sums the partials while handing every device exactly
+    its own B-row band — half a psum's wire traffic and no host-planned
+    boundary sets at all.  This is the dense-exchange endpoint of the
+    strategy family: it moves ~P*B rows/device regardless of structure,
+    so it wins precisely when the graph is so entangled that boundary
+    pools (v3) and pre-reduced bands (v4) approach full blocks anyway
+    (``plan_exchange_volumes`` compares all three)."""
+
+    acd_loc: jax.Array    # i32[P, Kp, 3] (a_global, c_local, d)
+    P: int
+    B: int
+
+
+jax.tree_util.register_dataclass(
+    ReduceScatterShardPlan, data_fields=["acd_loc"], meta_fields=["P", "B"])
+
+
+def build_reduce_scatter_shard_plan(acd: np.ndarray, nnz_pad: int,
+                                    P: int) -> ReduceScatterShardPlan:
+    acd = np.asarray(acd)
+    real = acd[0] < PAD_INDEX
+    a, c, d = (acd[0][real].astype(np.int64), acd[1][real].astype(np.int64),
+               acd[2][real].astype(np.int64))
+    assert nnz_pad % P == 0
+    B = nnz_pad // P
+    c_owner = np.minimum(c // B, P - 1)
+    Kp = max(int(max((np.sum(c_owner == p) for p in range(P)),
+                     default=1)), 1)
+    acd_loc = np.zeros((P, Kp, 3), np.int32)
+    acd_loc[:, :, 0] = PAD_INDEX
+    for p in range(P):
+        sel = np.nonzero(c_owner == p)[0]   # global a-order preserved
+        acd_loc[p, :len(sel), 0] = a[sel]
+        acd_loc[p, :len(sel), 1] = c[sel] - p * B
+        acd_loc[p, :len(sel), 2] = d[sel]
+    return ReduceScatterShardPlan(acd_loc=jnp.asarray(acd_loc), P=P, B=B)
+
+
+def make_reduce_scatter_spspmm(mesh: Mesh, plan: ReduceScatterShardPlan,
+                               axis: str = "sp"):
+    """Tuple-parallel spspmm via full-range partials + psum_scatter."""
+    from jax.sharding import PartitionSpec as P_
+
+    def body(Xblk, Av, loc):
+        h, acd = Xblk[0], loc[0]
+        av = h[jnp.minimum(acd[:, 1], h.shape[0] - 1)]
+        bv = Av[jnp.minimum(acd[:, 2], Av.shape[0] - 1)]
+        while bv.ndim < av.ndim:
+            bv = bv[..., None]
+        partial = segment_reduce(av * bv, acd[:, 0], plan.P * plan.B,
+                                 "sum", indices_are_sorted=True)
+        out = jax.lax.psum_scatter(
+            partial.reshape((plan.P, plan.B) + partial.shape[1:]),
+            axis, scatter_dimension=0, tiled=False)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(plan.P, plan.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P_(axis), P_(), P_(axis)),
+            out_specs=P_(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, plan.acd_loc)
+        return out.reshape(plan.P * plan.B, -1)
+
+    return jax.jit(run)
+
+
 def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
     """Per-device exchanged row counts (padded, what actually moves) for
     the two partitioned strategies — pick the smaller before building:
 
     - "overlapped" (v3): all_gather of input boundary pools, P*Bnd rows
     - "scatter" (v4): all_to_all of pre-reduced output bands, P*Bpq rows
+    - "reduce_scatter" (v6): full-range partials summed into ownership
+      bands, P*B rows — structure-independent, the floor for dense
+      exchanges
 
     Also reports "ring_peak" (v5): the ppermute ring moves the same
     total rows as overlapped but holds only one block's pool (Bnd rows)
@@ -701,7 +784,7 @@ def plan_exchange_volumes(acd: np.ndarray, nnz_pad: int, P: int) -> dict:
                 bpq = max(bpq, len(np.unique(
                     a[cross & (c_owner == p) & (a_owner == q)])))
     return {"overlapped": P * max(bnd, 1), "scatter": P * max(bpq, 1),
-            "ring_peak": max(bnd, 1)}
+            "reduce_scatter": nnz_pad, "ring_peak": max(bnd, 1)}
 
 
 def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
@@ -717,13 +800,17 @@ def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
     vols = plan_exchange_volumes(acd, nnz_pad, mesh.shape[axis])
     P = mesh.shape[axis]
     cap = max_boundary_rows if max_boundary_rows is not None else np.inf
-    sc_ok = vols["scatter"] <= cap
-    ov_ok = vols["overlapped"] <= cap
-    if sc_ok and (vols["scatter"] < vols["overlapped"] or not ov_ok):
-        plan = build_scatter_shard_plan(acd, nnz_pad, P)
-        return make_scatter_spspmm(mesh, plan, axis), "scatter", vols
-    if ov_ok:
-        plan = build_overlapped_shard_plan(acd, nnz_pad, P)
-        return make_overlapped_spspmm(mesh, plan, axis), "overlapped", vols
+    builders = {
+        "scatter": (build_scatter_shard_plan, make_scatter_spspmm),
+        "overlapped": (build_overlapped_shard_plan, make_overlapped_spspmm),
+        "reduce_scatter": (build_reduce_scatter_shard_plan,
+                           make_reduce_scatter_spspmm),
+    }
+    fitting = [(vols[k], k) for k in builders if vols[k] <= cap]
+    if fitting:
+        _, name = min(fitting)
+        build, make = builders[name]
+        plan = build(acd, nnz_pad, P)
+        return make(mesh, plan, axis), name, vols
     plan = build_ring_shard_plan(acd, nnz_pad, P)
     return make_ring_spspmm(mesh, plan, axis), "ring", vols

@@ -186,6 +186,31 @@ def test_ring_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got, ref.values) < 1e-5
 
 
+def test_reduce_scatter_tuple_parallel_matches_spspmm(rng):
+    """v6 (full-range partials + psum_scatter over ownership bands)
+    equals the single-device contraction."""
+    from pygho_tpu.parallel.tuple_parallel import (
+        build_reduce_scatter_shard_plan, make_reduce_scatter_spspmm,
+        plan_exchange_volumes)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
+    acd = indexing.filterind(indX, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1], 256))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_reduce_scatter_shard_plan(acd_p, X.nnz_pad, 8)
+    got = make_reduce_scatter_spspmm(mesh, plan)(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-5
+
+    vols = plan_exchange_volumes(acd_p, X.nnz_pad, 8)
+    assert vols["reduce_scatter"] == X.nnz_pad
+
+
 def test_giant_graph_training(rng):
     """End-to-end sp-sharded NGNN training on one giant graph matches a
     single-device implementation of the same model."""
@@ -292,8 +317,8 @@ def test_scatter_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got[:nnz_pad], oracle.values) < 1e-4
 
     fn, which, vols = choose_partitioned_spspmm(mesh, acd_p, nnz_pad, "sp")
-    assert which in vols and vols[which] == min(vols["overlapped"],
-                                                vols["scatter"])
+    assert which in vols and vols[which] == min(
+        vols["overlapped"], vols["scatter"], vols["reduce_scatter"])
     got2 = fn(X.values, A.values)
     assert maxdiff(got2[:nnz_pad], oracle.values) < 1e-4
 
