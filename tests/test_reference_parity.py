@@ -211,6 +211,105 @@ def test_conv_layer_activation_parity(rng, convname):
                    ref_out.values.detach().numpy()) < 1e-4
 
 
+@pytest.mark.parametrize("convname", ["GNNAK", "SUN"])
+def test_pooling_conv_activation_parity(rng, convname):
+    """GNNAK / SUN (diag + subgraph/cross pooling + unpooling [+
+    HeteroLinear diagonal routing]): reference forward == ours."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    keyXA = f"X{KEYSEP}X{KEYSEP}1{KEYSEP}A{KEYSEP}0"
+    t_, b_ = indexing.spspmm_ind(tup, 1, edges, 0)
+    a_ = indexing.filterind(tup, t_, b_)
+    ref_dd = {f"{keyXA}{KEYSEP}acd": torch.from_numpy(a_)}
+    my_dd = {f"{keyXA}{KEYSEP}acd": jnp.asarray(indexing.pad_acd(
+        a_, indexing.bucket_size(a_.shape[1])))}
+
+    mlp_t = {"numlayer": 1, "tailact": True, "norm": "none", "act": "relu"}
+    torch.manual_seed(0)
+    if convname == "GNNAK":
+        ref_conv = RefConv.GNNAKConv(d, d, "sum", "mean", "SS",
+                                     dict(mlp_t), dict(mlp_t))
+        my_conv = Conv.GNNAKConv(d, d, "sum", "mean", "SS",
+                                 dict(mlp_t), dict(mlp_t), rngs=nnx.Rngs(0))
+        pairs = [(ref_conv.lin0, my_conv.lin0), (ref_conv.lin, my_conv.lin)]
+    else:
+        ref_conv = RefConv.SUNConv(d, d, "sum", "mean", "SS",
+                                   dict(mlp_t), dict(mlp_t))
+        my_conv = Conv.SUNConv(d, d, "sum", "mean", "SS",
+                               dict(mlp_t), dict(mlp_t), rngs=nnx.Rngs(0))
+        pairs = [(ref_conv.lin0, my_conv.lin0),
+                 (ref_conv.lin1_1, my_conv.lin1_1)]
+        # HeteroLinear: shim keeps per-type torch Linears; ours is a
+        # (types, in, out) stacked einsum weight
+        w = np.stack([l.weight.detach().numpy().T
+                      for l in ref_conv.lin1_0.lins])
+        my_conv.lin1_0.weight[...] = jnp.asarray(w)
+    for r, m in pairs:
+        _sync_mlp(r, m)
+
+    refX = RefSparse(torch.from_numpy(tup), torch.from_numpy(Xval),
+                     shape=[n, n, d], is_coalesced=True)
+    refA = RefSparse(torch.from_numpy(edges), torch.from_numpy(Aval),
+                     shape=[n, n, d], is_coalesced=True)
+    with torch.no_grad():
+        ref_out = ref_conv.forward(refA, refX, ref_dd)
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), is_coalesced=True)
+    A = SparseTensor.from_numpy(edges, Aval, (n, n), is_coalesced=True)
+    my_conv.eval()
+    my_out = my_conv(A, X, my_dd)
+    nv = tup.shape[1]
+    assert maxdiff(np.asarray(my_out.values)[:nv],
+                   ref_out.values.detach().numpy()) < 1e-4
+
+
+def test_i2_conv_activation_parity(rng):
+    """I2Conv on 3-tuples (dim-2 message passing): reference == ours."""
+    import scipy.sparse as ssp
+
+    edges, Aval, _, _, n, d = _instance(rng)
+    spd = ssp.csgraph.shortest_path(
+        ssp.coo_matrix((np.ones(edges.shape[1]),
+                        (edges[0], edges[1])), (n, n)).tocsr(),
+        unweighted=True)
+    # per-edge 3-tuples (u, v, k) with k within 2 hops of u (I2 pattern)
+    us, vs, ks = [], [], []
+    for u, v in edges.T:
+        kk = np.nonzero(spd[u] <= 2)[0]
+        us.append(np.full(len(kk), u))
+        vs.append(np.full(len(kk), v))
+        ks.append(kk)
+    tup3 = np.stack([np.concatenate(us), np.concatenate(vs),
+                     np.concatenate(ks)]).astype(np.int64)
+    tup3 = tup3[:, np.lexsort((tup3[2], tup3[1], tup3[0]))]
+    Xval = rng.normal(size=(tup3.shape[1], d)).astype(np.float32)
+
+    key = f"X{KEYSEP}X{KEYSEP}2{KEYSEP}A{KEYSEP}0"
+    t_, b_ = indexing.spspmm_ind(tup3, 2, edges, 0)
+    a_ = indexing.filterind(tup3, t_, b_)
+    ref_dd = {f"{key}{KEYSEP}acd": torch.from_numpy(a_)}
+    my_dd = {f"{key}{KEYSEP}acd": jnp.asarray(indexing.pad_acd(
+        a_, indexing.bucket_size(a_.shape[1])))}
+
+    mlp_t = {"numlayer": 1, "tailact": True, "norm": "none", "act": "relu"}
+    torch.manual_seed(0)
+    ref_conv = RefConv.I2Conv(d, d, "sum", "SS", dict(mlp_t))
+    my_conv = Conv.I2Conv(d, d, "sum", "SS", dict(mlp_t), rngs=nnx.Rngs(0))
+    _sync_mlp(ref_conv.lin, my_conv.lin)
+
+    refX = RefSparse(torch.from_numpy(tup3), torch.from_numpy(Xval),
+                     shape=[n, n, n, d], is_coalesced=True)
+    refA = RefSparse(torch.from_numpy(edges), torch.from_numpy(Aval),
+                     shape=[n, n, d], is_coalesced=True)
+    with torch.no_grad():
+        ref_out = ref_conv.forward(refA, refX, ref_dd)
+    X = SparseTensor.from_numpy(tup3, Xval, (n, n, n), is_coalesced=True)
+    A = SparseTensor.from_numpy(edges, Aval, (n, n), is_coalesced=True)
+    my_conv.eval()
+    my_out = my_conv(A, X, my_dd)
+    nv = tup3.shape[1]
+    assert maxdiff(np.asarray(my_out.values)[:nv],
+                   ref_out.values.detach().numpy()) < 1e-4
+
+
 def test_masked_reduction_parity(rng):
     """MaskedTensor sum/mean/max match the reference's fill-then-reduce
     (min intentionally differs — reference bug #1, see PARITY.md)."""
