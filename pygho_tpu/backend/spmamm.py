@@ -78,6 +78,42 @@ def _dense_spmamm(A: SparseTensor, bidx, taridx, srcidx, n_t: int,
     return MaskedTensor(jnp.moveaxis(out, 1, dim2), mask)
 
 
+def _fused_spmamm(A: SparseTensor, dim1: int, B: MaskedTensor, dim2: int,
+                  mask, aggr: str, plans) -> MaskedTensor:
+    """Fused Pallas path: ride the spspmm kernel on host-expanded
+    (t, u, v) triples (kernels/fused_spmamm.py).  sum/mean, vector edge
+    values matching B's feature dim."""
+    from ..kernels.fused_spspmm import fused_spspmm, get_fused_math
+
+    bsz, n = A.sparse_shape[0], B.data.shape[dim2]
+    md = B.masked_dim
+    data = B.fill_masked(0.0)
+    perm = jnp.moveaxis(data, dim2, md - 1)     # contracted last masked
+    dense_shape = perm.shape[md:]
+    flat = perm.reshape((-1,) + dense_shape)
+    rows = flat.shape[0]
+    fwd, dxp, dap = plans
+    out_flat = fused_spspmm(A.values.astype(jnp.float32),
+                            flat.astype(jnp.float32),
+                            fwd, dxp, dap, None, get_fused_math())[:rows]
+    out = out_flat.reshape(perm.shape[:md] + dense_shape).astype(B.data.dtype)
+    out = jnp.moveaxis(out, md - 1, dim2)
+    if aggr == "mean":
+        taridx = A.indices[2] if dim1 == 1 else A.indices[1]
+        bidx = A.indices[0]
+        ids = jnp.where(A.rowmask,
+                        jnp.minimum(bidx, bsz - 1) * n
+                        + jnp.minimum(taridx, n - 1),
+                        jnp.asarray(bsz * n, jnp.int32))
+        deg = segment_reduce(jnp.ones((ids.shape[0],), out.dtype), ids,
+                             bsz * n, "sum", indices_are_sorted=False)
+        deg = jnp.maximum(deg.reshape(bsz, n), 1.0)
+        shape = [1] * out.ndim
+        shape[0], shape[dim2] = bsz, n
+        out = out / deg.reshape(shape)
+    return MaskedTensor(out, mask if mask is not None else B.mask)
+
+
 def spmamm(
     A: SparseTensor,
     dim1: int,
@@ -85,10 +121,26 @@ def spmamm(
     dim2: int,
     mask: Optional[jax.Array] = None,
     aggr: str = "sum",
+    plans=None,
 ) -> MaskedTensor:
     """out[b, i] = aggr_j A[b, i, j] * B[b, j] (dim1 selects which of A's
-    node dims is contracted; dim2 selects B's contracted masked dim)."""
+    node dims is contracted; dim2 selects B's contracted masked dim).
+
+    ``plans`` (a (fwd, dX, dA) ChunkPlan triple from
+    kernels.fused_spmamm.build_spmamm_plans) routes the contraction
+    through the fused Pallas kernel when applicable."""
     assert A.sparse_dim == 3, "A must be a (batch, n, n) sparse tensor"
+    if (plans is not None and aggr in ("sum", "mean")
+            and A.values is not None and A.values.ndim == 2
+            and B.dense_dim == 1
+            and A.values.shape[1] == B.data.shape[-1]
+            and A.values.dtype in (jnp.float32, jnp.bfloat16)
+            and B.data.dtype in (jnp.float32, jnp.bfloat16)
+            # Mosaic lane constraint (see sp_operator): small feature
+            # dims stay on the XLA/dense paths on TPU
+            and (A.values.shape[1] % 128 == 0
+                 or jax.default_backend() != "tpu")):
+        return _fused_spmamm(A, dim1, B, dim2, mask, aggr, plans)
     bsz = A.sparse_shape[0]
     if dim1 == 1:
         n = A.sparse_shape[2]

@@ -11,8 +11,9 @@ from . import tensorop
 from . import conv
 from . import utils
 from .sp_operator import KEYSEP, parse_precomputekey
+from .ma_operator import parse_spmamm_dims
 
 __all__ = [
     "sp_operator", "ma_operator", "tensorop", "conv", "utils",
-    "KEYSEP", "parse_precomputekey",
+    "KEYSEP", "parse_precomputekey", "parse_spmamm_dims",
 ]

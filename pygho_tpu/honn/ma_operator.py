@@ -16,6 +16,7 @@ from ..backend.sptensor import SparseTensor
 from ..backend.matensor import MaskedTensor
 from ..backend.mamamm import mamamm
 from ..backend.spmamm import spmamm
+from .sp_operator import KEYSEP
 
 
 class OpNodeMessagePassing(nnx.Module):
@@ -124,20 +125,36 @@ class OpMessagePassingCrossSubg2D(OpMessagePassing):
 
 class OpSpMessagePassing(nnx.Module):
     """Sparse-adjacency variants ("SD" mode) via spmamm
-    (reference MaOperator.py:281-333)."""
+    (reference MaOperator.py:281-333).  When the loader shipped fused
+    chunk plans (datadict["spmamm___<dim1>___<dim2>___plan"], see
+    kernels/fused_spmamm.py) the contraction rides the Pallas kernel."""
 
     def __init__(self, dim1: int, dim2: int, aggr: str = "sum"):
         self.dim1 = dim1
         self.dim2 = dim2
         self.aggr = aggr
+        self.plankey = f"spmamm{KEYSEP}{dim1}{KEYSEP}{dim2}{KEYSEP}plan"
 
     def __call__(self, A: SparseTensor, X: MaskedTensor,
                  datadict: Optional[Dict] = None,
                  tarX: Optional[MaskedTensor] = None) -> MaskedTensor:
+        plans = None if datadict is None else datadict.get(self.plankey)
         return spmamm(A, self.dim1, X, self.dim2,
-                      None if tarX is None else tarX.mask, self.aggr)
+                      None if tarX is None else tarX.mask, self.aggr,
+                      plans=plans)
 
     forward = __call__
+
+
+def parse_spmamm_dims(model) -> list:
+    """Collect (dim1, dim2) pairs of every OpSpMessagePassing in a model
+    — the SD-mode analog of parse_precomputekey, feeding
+    MaDataloader(plan_dims=...) for fused spmamm plan building."""
+    ret = set()
+    for _, mod in nnx.iter_graph(model):
+        if isinstance(mod, OpSpMessagePassing):
+            ret.add((mod.dim1, mod.dim2))
+    return sorted(ret)
 
 
 class OpSpMessagePassingOnSubg2D(OpSpMessagePassing):

@@ -13,8 +13,10 @@ from .fused_spspmm import (ChunkPlan, build_chunk_plan, build_spspmm_plans,
                            build_spspmm_plans_for, autotune_spspmm_geoms,
                            autotune_geometry, estimate_plan_cost,
                            fused_spspmm, fused_contract)
+from .fused_spmamm import build_spmamm_plans, spmamm_triples
 
 __all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
            "build_spspmm_plans_for", "autotune_spspmm_geoms",
            "autotune_geometry", "estimate_plan_cost",
-           "fused_spspmm", "fused_contract"]
+           "fused_spspmm", "fused_contract",
+           "build_spmamm_plans", "spmamm_triples"]

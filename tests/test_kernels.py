@@ -356,3 +356,91 @@ def test_chunk_bounds_dyn2_matches_numpy_fallback(rng):
         native._mod = orig
     for f in ("tuv_local", "ubase", "vbase", "oblk", "udma"):
         assert np.array_equal(getattr(with_cpp, f), getattr(no_cpp, f)), f
+
+
+# ---------------------------------------------------------------------------
+# fused spmamm (SD-mode contraction on the same kernel)
+# ---------------------------------------------------------------------------
+
+
+def _sd_case(rng, bsz=3, n=10, d=128, e_pad=256):
+    """Batched sparse adjacency + per-graph node counts."""
+    counts = rng.integers(n - 4, n + 1, bsz)
+    inds = []
+    for g in range(bsz):
+        ng = counts[g]
+        adj = (rng.random((ng, ng)) < 0.4)
+        np.fill_diagonal(adj, False)
+        ei = np.stack(np.nonzero(adj)).astype(np.int64)
+        inds.append(np.concatenate(
+            [np.full((1, ei.shape[1]), g, np.int64), ei], axis=0))
+    ind = np.concatenate(inds, axis=1)
+    A = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], d)).astype(np.float32),
+        (bsz, n, n), nnz_pad=e_pad)
+    return A, counts
+
+
+@pytest.mark.parametrize("dim1,dim2,mnd", [(1, 2, 3), (1, 1, 3),
+                                           (2, 1, 2), (1, 3, 4)])
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+def test_fused_spmamm_matches_gather_path(rng, dim1, dim2, mnd, aggr):
+    """The fused-kernel spmamm equals the gather/segment path for every
+    SD-mode op shape (node-level, subg2D, cross2D, subg3D)."""
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.spmamm import spmamm, set_dense_spmamm
+    from pygho_tpu.kernels import build_spmamm_plans
+
+    bsz, n, d = 3, 10, 128
+    A, counts = _sd_case(rng, bsz, n, d)
+    mshape = (bsz,) + (n,) * (mnd - 1)
+    mask = np.zeros(mshape, bool)
+    for g in range(bsz):
+        sl = (g,) + tuple(slice(0, counts[g]) for _ in range(mnd - 1))
+        mask[sl] = True
+    B = MaskedTensor(
+        jnp.asarray(rng.normal(size=mshape + (d,)).astype(np.float32)),
+        jnp.asarray(mask))
+
+    set_dense_spmamm(False)
+    try:
+        ref = spmamm(A, dim1, B, dim2, aggr=aggr)
+    finally:
+        set_dense_spmamm(True)
+    plans = build_spmamm_plans(np.asarray(A.indices), A.nnz_pad, dim1, n,
+                               bsz, mnd, counts, D=d,
+                               geometry=(128, 256, 128))
+    got = spmamm(A, dim1, B, dim2, aggr=aggr, plans=plans)
+    assert maxdiff(got.data * got.fullmask, ref.data * ref.fullmask) < 1e-4
+
+
+def test_fused_spmamm_gradients_match(rng):
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.spmamm import spmamm, set_dense_spmamm
+    from pygho_tpu.kernels import build_spmamm_plans
+
+    bsz, n, d, mnd = 2, 8, 128, 3
+    A, counts = _sd_case(rng, bsz, n, d)
+    mshape = (bsz, n, n)
+    mask = np.zeros(mshape, bool)
+    for g in range(bsz):
+        mask[g, :counts[g], :counts[g]] = True
+    Bdata = jnp.asarray(rng.normal(size=mshape + (d,)).astype(np.float32))
+    maskj = jnp.asarray(mask)
+    plans = build_spmamm_plans(np.asarray(A.indices), A.nnz_pad, 1, n,
+                               bsz, mnd, counts, D=d,
+                               geometry=(128, 256, 128))
+
+    def loss(av, bd, plans):
+        A2 = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+        out = spmamm(A2, 1, MaskedTensor(bd, maskj), 2, plans=plans)
+        return (out.fill_masked(0.0) ** 2).sum()
+
+    g1 = jax.grad(loss, (0, 1))(A.values, Bdata, plans)
+    set_dense_spmamm(False)
+    try:
+        g2 = jax.grad(loss, (0, 1))(A.values, Bdata, None)
+    finally:
+        set_dense_spmamm(True)
+    assert maxdiff(g1[0], g2[0]) < 1e-4
+    assert maxdiff(g1[1], g2[1]) < 1e-4

@@ -133,6 +133,39 @@ def test_sd_mode_model_trains():
     assert losses[-1] < losses[0]
 
 
+def test_sd_mode_fused_plans_match_unfused():
+    """SD model forward with loader-built fused spmamm plans == without
+    (hidden dim 128 so the fused route actually engages)."""
+    from flax import nnx
+
+    from pygho_tpu.honn import parse_spmamm_dims
+    from pygho_tpu.hodata.ma_data import batch_to_dense_dict
+    from pygho_tpu.backend.spmamm import set_dense_spmamm
+
+    model = make_ma_model("NGNN", num_layer=2, hiddim=128, mode="SD",
+                          aggr="sum", mlp=dict(MLPD))
+    dims = parse_spmamm_dims(model)
+    assert (1, 2) in dims
+    graphs = synthetic_zinc("train", n_graphs=8)
+    pre = Mapretransform(spdsampler, [""])
+    datas = [pre(g) for g in graphs]
+    dl0 = MaDataloader(datas, 8, denseadj=False, device_put=False,
+                       prefetch=0)
+    dl1 = MaDataloader(datas, 8, denseadj=False, device_put=False,
+                       prefetch=0, build_plans=True, plan_dims=dims,
+                       plan_geometry=(128, 256, 128), plan_dim=128)
+    b0, b1 = next(iter(dl0)), next(iter(dl1))
+    assert any(k.endswith("___plan") for k in b1), list(b1)
+    model.eval()
+    set_dense_spmamm(False)
+    try:
+        p0 = model(batch_to_dense_dict(b0))
+        p1 = model(batch_to_dense_dict(b1))
+    finally:
+        set_dense_spmamm(True)
+    assert np.abs(np.asarray(p0) - np.asarray(p1)).max() < 1e-3
+
+
 def test_dense_classification_steps():
     from pygho_tpu.models.training import make_dense_classification_steps
 
