@@ -22,6 +22,11 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--dataset", choices=["CSL", "EXP", "sr25", "count"],
                     default="CSL")
 parser.add_argument("--conv", default="NGNN")
+parser.add_argument("--dense", action="store_true",
+                    help="masked-dense ('DD') backend: spdsampler tuple "
+                         "features, padded (b,n,n) tensors, einsum path "
+                         "(BASELINE configs 3/5: NGNN on EXP/CSL, PPGN "
+                         "on sr25)")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--epochs", type=int, default=60)
 parser.add_argument("--hiddim", type=int, default=64)
@@ -78,34 +83,63 @@ val_idx, trn_idx = perm[:n_val], perm[n_val:]
 if args.dataset == "sr25":    # task: memorize/separate all 15 graphs
     trn_idx = val_idx = perm
 
-model = make_sp_model(args.conv, num_tasks=num_classes,
-                      num_layer=args.num_layer, hiddim=args.hiddim,
-                      mlp={"norm": args.norm, "act": "silu", "normparam": args.normparam})
-keys = parse_precomputekey(model)
-sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
-           else partial(KhopSampler, hop=args.hop))
-ds = ParallelPreprocessDataset(
-    f"dataset/{args.dataset}_{args.conv}_h{args.hop}", graphs,
-    Sppretransform(sampler, [""], keys), 0)
+mlp = {"norm": args.norm, "act": "silu", "normparam": args.normparam}
+if args.dense:
+    from pygho_tpu.hodata import MaDataloader, Mapretransform
+    from pygho_tpu.hodata.ma_sampler import spdsampler
+    from pygho_tpu.models import make_ma_model
+    from pygho_tpu.models.training import (
+        make_dense_steps, make_dense_classification_steps)
 
-trn = SpDataloader([ds[i] for i in trn_idx], args.bs, keys, shuffle=True)
-val = SpDataloader([ds[i] for i in val_idx], args.bs, keys)
+    model = make_ma_model(args.conv, num_tasks=num_classes,
+                          num_layer=args.num_layer, hiddim=args.hiddim,
+                          mlp=mlp)
+    ds = ParallelPreprocessDataset(
+        f"dataset/{args.dataset}_ma_h{args.hop}", graphs,
+        Mapretransform(partial(spdsampler, hop=args.hop), [""]), 0)
+    trn = MaDataloader([ds[i] for i in trn_idx], args.bs, shuffle=True)
+    val = MaDataloader([ds[i] for i in val_idx], args.bs)
+    if task == "cls":
+        train_step, eval_step = make_dense_classification_steps()
+    else:
+        train_step, eval_step = make_dense_steps()
+else:
+    model = make_sp_model(args.conv, num_tasks=num_classes,
+                          num_layer=args.num_layer, hiddim=args.hiddim,
+                          mlp=mlp)
+    keys = parse_precomputekey(model)
+    sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
+               else partial(KhopSampler, hop=args.hop))
+    ds = ParallelPreprocessDataset(
+        f"dataset/{args.dataset}_{args.conv}_h{args.hop}", graphs,
+        Sppretransform(sampler, [""], keys), 0)
+    trn = SpDataloader([ds[i] for i in trn_idx], args.bs, keys, shuffle=True)
+    val = SpDataloader([ds[i] for i in val_idx], args.bs, keys)
+    if task == "cls":
+        train_step, eval_step = make_sparse_classification_steps()
+    else:
+        train_step, eval_step = make_sparse_steps()
 
 opt = make_optimizer(model, args.lr)
-if task == "cls":
-    train_step, eval_step = make_sparse_classification_steps()
-else:
-    train_step, eval_step = make_sparse_steps()
-metrics = MetricsLogger(f"runs/expr_{args.dataset}_{args.conv}.jsonl")
+metrics = MetricsLogger(
+    f"runs/expr_{args.dataset}_{args.conv}"
+    f"{'_dense' if args.dense else ''}.jsonl")
 
 if args.recalibrate_bn:
     from flax import nnx as _nnx
 
-    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict as _b2s
+    if args.dense:
+        from pygho_tpu.hodata.ma_data import batch_to_dense_dict as _b2d
 
-    @_nnx.jit
-    def _recal_fwd(m, b):
-        return m(_b2s(b))
+        @_nnx.jit
+        def _recal_fwd(m, b):
+            return m(_b2d(b))
+    else:
+        from pygho_tpu.hodata.sp_data import batch_to_sparse_dict as _b2s
+
+        @_nnx.jit
+        def _recal_fwd(m, b):
+            return m(_b2s(b))
 
 best = 0.0 if task == "cls" else float("inf")
 for epoch in range(1, args.epochs + 1):
