@@ -88,6 +88,7 @@ class ChunkPlan:
     u_rows: int            # required padded U rows (window clamp bound)
     v_rows: int
     Rv: int = 0            # v window rows; 0 means "same as R" (legacy)
+    slots: int = 2         # operand VMEM buffers; prefetch depth slots-1
 
     @property
     def r_v(self) -> int:
@@ -98,8 +99,11 @@ class ChunkPlan:
         return self.tuv_local.shape[0]
 
 
-def _slots_and_dmas(bases: np.ndarray):
-    """Alternate buffer slots on window changes; skip DMAs on repeats."""
+def _slots_and_dmas(bases: np.ndarray, n_slots: int = 2):
+    """Cycle buffer slots on window changes; skip DMAs on repeats.
+    ``n_slots`` > 2 enables prefetch deeper than one chunk (the kernel
+    prefetches ``n_slots - 1`` ahead; a slot is only rewritten after its
+    chunk's compute step has retired)."""
     n = bases.shape[0]
     slots = np.zeros(n, np.int32)
     dmas = np.zeros(n, np.int32)
@@ -107,7 +111,7 @@ def _slots_and_dmas(bases: np.ndarray):
     for i in range(n):
         if i == 0 or bases[i] != bases[i - 1]:
             if i > 0:
-                slot = 1 - slot
+                slot = (slot + 1) % n_slots
             dmas[i] = 1
         slots[i] = slot
     return slots, dmas
@@ -117,7 +121,8 @@ jax.tree_util.register_dataclass(
     ChunkPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk", "uslot", "vslot",
                  "udma", "vdma"],
-    meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows", "Rv"],
+    meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows", "Rv",
+                 "slots"],
 )
 
 
@@ -131,6 +136,7 @@ def build_chunk_plan(
     S: int = DEFAULT_S,
     pad_chunks_to: Optional[int] = None,
     Rv: Optional[int] = None,
+    n_slots: int = 2,
 ) -> ChunkPlan:
     """Greedy chunker with dynamic operand windows: walk the (3, K)
     triple array (sorted by t; PAD_INDEX rows at the end are dropped) and
@@ -256,15 +262,15 @@ def build_chunk_plan(
         tuv_local[cid, 0, pos] = (t[row] - ca[cid, 4] * S).astype(np.int32)
         tuv_local[cid, 1, pos] = (u[row] - ca[cid, 2]).astype(np.int32)
         tuv_local[cid, 2, pos] = (v[row] - ca[cid, 3]).astype(np.int32)
-    uslot, udma = _slots_and_dmas(ubase)
-    vslot, vdma = _slots_and_dmas(vbase)
+    uslot, udma = _slots_and_dmas(ubase, n_slots)
+    vslot, vdma = _slots_and_dmas(vbase, n_slots)
     # keep numpy: device transfer happens in one bulk device_put with the
     # rest of the batch (per-array transfers are RTT-bound on remote TPUs)
     return ChunkPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         uslot=uslot, vslot=vslot, udma=udma, vdma=vdma,
         C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows,
-        Rv=Rv)
+        Rv=Rv, slots=n_slots)
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +288,8 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int):
+def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
+                  depth: int = 1):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -303,19 +310,37 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int):
                 v_hbm.at[pl.ds(vbase_ref[chunk], Rv)],
                 vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
 
+        # warm-up: issue the first chunk's DMAs plus the prefetch horizon
+        # (chunks 1..depth-1); steady state keeps `depth` chunks in
+        # flight.  A slot cycles every window change, so with
+        # slots = depth + 1 buffers a slot is never rewritten before the
+        # grid step that consumes it has retired (TPU grid steps are
+        # sequential; only the copies are async).
         @pl.when(i == 0)
         def _():
             u_copy(0).start()
             v_copy(0).start()
+            for k in range(1, depth):
+                kc = jnp.minimum(k, n - 1)
 
-        # prefetch chunk i+1's windows only when they change
-        @pl.when(jnp.logical_and(i + 1 < n, udma_ref[jnp.minimum(i + 1, n - 1)] == 1))
-        def _():
-            u_copy(i + 1).start()
+                @pl.when(jnp.logical_and(k < n, udma_ref[kc] == 1))
+                def _():
+                    u_copy(kc).start()
 
-        @pl.when(jnp.logical_and(i + 1 < n, vdma_ref[jnp.minimum(i + 1, n - 1)] == 1))
+                @pl.when(jnp.logical_and(k < n, vdma_ref[kc] == 1))
+                def _():
+                    v_copy(kc).start()
+
+        # prefetch chunk i+depth's windows only when they change
+        nxt = jnp.minimum(i + depth, n - 1)
+
+        @pl.when(jnp.logical_and(i + depth < n, udma_ref[nxt] == 1))
         def _():
-            v_copy(i + 1).start()
+            u_copy(nxt).start()
+
+        @pl.when(jnp.logical_and(i + depth < n, vdma_ref[nxt] == 1))
+        def _():
+            v_copy(nxt).start()
 
         # wait exactly for DMAs that were issued for THIS chunk
         @pl.when(udma_ref[i] == 1)
@@ -399,6 +424,7 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
             f"(got {D}); use the XLA spspmm path for smaller dims")
     n_chunks = plan.n_chunks
 
+    n_slots = plan.slots
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_chunks,),
@@ -411,15 +437,15 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
         out_specs=pl.BlockSpec((S, D),
                                lambda i, ub, vb, ob, *refs: (ob[i], 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, R, D), U.dtype),
-            pltpu.VMEM((2, Rv, D), V.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((n_slots, R, D), U.dtype),
+            pltpu.VMEM((n_slots, Rv, D), V.dtype),
+            pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )
     passes = 3 if exact else 1
     flops = 2 * n_chunks * passes * (C * R * D + C * Rv * D + S * C * D)
     out = pl.pallas_call(
-        _fused_kernel(C, R, S, exact, Rv),
+        _fused_kernel(C, R, S, exact, Rv, depth=n_slots - 1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -604,42 +630,50 @@ def suggest_geometry(acd: np.ndarray, C: int = DEFAULT_C,
 # static cost model + geometry autotuning
 # ---------------------------------------------------------------------------
 
-# TPU v5e per-chip peaks.  Only the RATIOS matter — the model ranks
-# candidate geometries; absolute times are roofline-optimistic.
-_MXU_FLOPS = 197e12      # bf16 matmul
-_VPU_FLOPS = 3.9e12      # elementwise f32 (one-hot iota-compare builds)
+# TPU v5e per-chip constants, CALIBRATED against a measured 13-point
+# geometry sweep on the ZINC fwd workload (2026-08-17; 3-parameter
+# linear fit, rank correlation 0.97).  Only the RATIOS matter — the
+# model ranks candidate geometries.
+_MXU_FLOPS = 165e12      # effective bf16 matmul rate on kernel shapes
+_VPU_RATE = 5.9e12       # one-hot elements/s (iota-compare builds)
+_CHUNK_FIXED = 0.58e-6   # per-grid-step overhead (issue/wait/step)
 _HBM_BW = 819e9          # bytes/s
 
 
 def estimate_plan_cost(plan: ChunkPlan, D: int, exact: bool = True,
                        itemsize: int = 4) -> float:
-    """Roofline time estimate (seconds) for one fused_contract launch.
+    """Calibrated time estimate (seconds) for one fused_contract launch.
 
-    Per chunk the window DMAs are double-buffered against the MXU work,
-    so chunk time ~ max(dma, compute); output blocks spill to HBM once
-    each; the scalar triple stream is read once.  ``exact`` triples the
-    MXU passes (3-term bf16 decomposition)."""
+    Per chunk: a fixed grid-step overhead (measured ~0.6 us — the
+    dominant term at molecule-scale chunk counts), plus MXU passes and
+    VPU one-hot builds; window DMAs are double-buffered against compute
+    (max); output blocks spill to HBM once each; the scalar triple
+    stream is read once.  ``exact`` triples the MXU passes (3-term bf16
+    decomposition)."""
     C, R, S = plan.C, plan.R, plan.S
     Rv = plan.r_v
     passes = 3 if exact else 1
     # (C,R)@(R,D) + (C,Rv)@(Rv,D) gathers + one (S,C)@(C,D) scatter, per pass
     mxu = passes * (2 * C * (R + Rv) * D + 2 * S * C * D) / _MXU_FLOPS
     # one-hot construction is VPU-bound and independent of passes
-    vpu = (C * (R + Rv) + S * C) / _VPU_FLOPS
+    vpu = (C * (R + Rv) + S * C) / _VPU_RATE
     t_comp = mxu + vpu
     t_dma = ((np.asarray(plan.udma).astype(np.float64) * R
               + np.asarray(plan.vdma).astype(np.float64) * Rv)
              * (D * itemsize / _HBM_BW))
     total = float(np.sum(np.maximum(t_dma, t_comp)))
+    total += plan.n_chunks * _CHUNK_FIXED
     total += plan.out_rows * D * itemsize / _HBM_BW          # block spills
     total += plan.n_chunks * (3 * C + 8) * 4 / _HBM_BW       # triple stream
     return total
 
 
-# (C, R, S) grid for the autotuner.  All MXU-tile friendly; S == C keeps
-# the scatter one-hot square-ish and the output block in VMEM.
+# (C, R, S) grid for the autotuner.  All MXU-tile friendly; S >= C
+# asymmetric entries trade a bigger scatter one-hot for fewer output
+# block transitions (fewer chunks -> less per-step overhead, which the
+# calibrated model says dominates at molecule scale).
 _GEOM_CANDIDATES = (
-    (256, 256, 256), (256, 512, 256),
+    (256, 256, 256), (256, 512, 256), (256, 256, 512),
     (512, 256, 512), (512, 320, 512), (512, 512, 512), (512, 768, 512),
     (1024, 512, 1024), (1024, 768, 1024), (1024, 1024, 1024),
 )
