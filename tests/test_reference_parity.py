@@ -310,6 +310,40 @@ def test_i2_conv_activation_parity(rng):
                    ref_out.values.detach().numpy()) < 1e-4
 
 
+def test_spspmpnn_parity(rng):
+    """Generalized message passing (the spspmpnn path behind NGAT-style
+    layers): same message function through both stacks."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    tar, bcd = indexing.spspmm_ind(tup, 1, edges, 0)
+    acd = indexing.filterind(tup, tar, bcd)
+
+    refX = RefSparse(torch.from_numpy(tup), torch.from_numpy(Xval),
+                     shape=[n, n, d], is_coalesced=True)
+    refA = RefSparse(torch.from_numpy(edges), torch.from_numpy(Aval),
+                     shape=[n, n, d], is_coalesced=True)
+
+    def msg_t(av, bv, cv, tar_ids):
+        return torch.relu(av * bv) + 0.5 * cv
+
+    ref = RefSpspmm.spspmpnn(refX, 1, refA, 0, refX,
+                             torch.from_numpy(acd), msg_t, "sum")
+
+    from pygho_tpu.backend.spspmm import spspmpnn
+
+    X = SparseTensor.from_numpy(tup, Xval, (n, n), is_coalesced=True)
+    A = SparseTensor.from_numpy(edges, Aval, (n, n), is_coalesced=True)
+    acd_p = jnp.asarray(indexing.pad_acd(
+        acd, indexing.bucket_size(acd.shape[1])))
+
+    def msg_j(av, bv, cv, tar_ids):
+        return jax.nn.relu(av * bv) + 0.5 * cv
+
+    got = spspmpnn(X, 1, A, 0, X, acd_p, msg_j, "sum")
+    nv = tup.shape[1]
+    assert maxdiff(np.asarray(got.values)[:nv],
+                   ref.values.detach().numpy()) < TOL
+
+
 def test_masked_reduction_parity(rng):
     """MaskedTensor sum/mean/max match the reference's fill-then-reduce
     (min intentionally differs — reference bug #1, see PARITY.md)."""
