@@ -245,9 +245,12 @@ class MaDataloader(_BaseLoader):
     builds fused-kernel chunk plans for the spmamm contractions listed in
     ``plan_dims`` (pairs ``(dim1, dim2)`` matching the model's
     OpSpMessagePassing ops — collect them with
-    honn.parse_spmamm_dims(model)).  Plans land in
-    ``batch["spmamm___<dim1>___<dim2>___plan"]`` and route the SD hot
-    loop through the Pallas kernel (kernels/fused_spmamm.py)."""
+    honn.parse_spmamm_dims(model); an optional third element overrides
+    B's masked rank, which otherwise defaults to the tuple tensor's).
+    Plans land in ``batch["spmamm___<dim1>___<dim2>___plan"]`` and route
+    the SD hot loop through the Pallas kernel (kernels/fused_spmamm.py).
+    The ship/skip decision of the chunk-fill guard is latched on the
+    first batch so the batch pytree structure stays jit-stable."""
 
     def __init__(self, dataset, batch_size: int,
                  annotate: Sequence[str] = ("",), denseadj: bool = True,
@@ -263,13 +266,15 @@ class MaDataloader(_BaseLoader):
         self.plan_geometry = plan_geometry
         self.plan_dim = plan_dim
         self._geoms: Dict[str, tuple] = {}
+        self._plan_skip: Dict[str, bool] = {}
 
     def _collate(self, datas):
         batch = collate_dense(datas, self.annotate,
                               num_graphs=self.batch_size,
                               buckets=self.buckets, denseadj=self.denseadj)
         if self.build_plans and not self.denseadj:
-            masked_ndim = len(datas[0]["tupleshape"]) + 1
+            masked_ndim = len(
+                datas[0][f"tupleshape{self.annotate[0]}"]) + 1
             self._add_spmamm_plans(batch, masked_ndim)
         return batch
 
@@ -283,9 +288,12 @@ class MaDataloader(_BaseLoader):
         bsz, n_pad = batch["x"].shape[:2]
         counts = batch["node_mask"].sum(1).astype(np.int64)
         nnz_pad = batch["A_indices"].shape[1]
-        for dim1, dim2 in self.plan_dims:
-            mnd = masked_ndim if (dim1, dim2) != (2, 1) else 2
+        for dims in self.plan_dims:
+            dim1, dim2 = dims[0], dims[1]
+            mnd = dims[2] if len(dims) > 2 else masked_ndim
             key = f"spmamm{KEYSEP}{dim1}{KEYSEP}{dim2}{KEYSEP}plan"
+            if self._plan_skip.get(key):
+                continue
             tuv = spmamm_triples(batch["A_indices"], dim1, n_pad,
                                  counts, mnd - 2)
             geom = self.plan_geometry
@@ -298,20 +306,27 @@ class MaDataloader(_BaseLoader):
                 geom = self._geoms[gname]
             plans = build_spmamm_plans(
                 batch["A_indices"], nnz_pad, dim1, n_pad, bsz, mnd,
-                counts, D=self.plan_dim, geometry=geom)
+                counts, D=self.plan_dim, geometry=geom, tuv=tuv)
             # fill guard: the flat SD output space is mostly padding at
             # molecule scale, which caps chunks at ~1 output block each
             # (measured: fused 2.5 ms vs densify 0.73 ms on ZINC SD).
             # Ship plans only when average chunk fill is >= 50% — the
             # over-budget giant-graph regime the fused path exists for.
-            if plans[0].n_chunks * plans[0].C > 2 * max(tuv.shape[1], 1):
+            # Latched on the first batch: a per-batch flip would change
+            # the batch pytree structure and force a jit recompile.
+            if key not in self._plan_skip:
+                self._plan_skip[key] = bool(
+                    plans[0].n_chunks * plans[0].C
+                    > 2 * max(tuv.shape[1], 1))
+            if self._plan_skip[key]:
                 continue
             n = max(p.n_chunks for p in plans)
             pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
             self.buckets[f"plan{key}"] = pad
             plans = build_spmamm_plans(
                 batch["A_indices"], nnz_pad, dim1, n_pad, bsz, mnd,
-                counts, D=self.plan_dim, geometry=geom, pad_chunks_to=pad)
+                counts, D=self.plan_dim, geometry=geom, pad_chunks_to=pad,
+                tuv=tuv)
             batch[key] = plans
 
 

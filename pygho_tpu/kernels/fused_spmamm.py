@@ -99,17 +99,24 @@ def build_spmamm_plans(
     D: int = 128,
     geometry="autotune",
     pad_chunks_to: Optional[int] = None,
+    tuv: Optional[np.ndarray] = None,
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
     """Host-build (fwd, dAval, dB) chunk plans for a fused spmamm.
 
     ``masked_ndim`` is B's masked rank including batch (2 for node-level
     B, 3 for 2-tuple X, 4 for 3-tuple X); the contracted axis identity
     does not matter for the plan — only how many extra axes get
-    expanded.  Returns plans consumable by backend.spmamm(plans=...).
+    expanded.  ``tuv`` skips the triple expansion when the caller
+    already ran spmamm_triples (the loader shares it with the autotuner
+    and the fill guard).  Returns plans consumable by
+    backend.spmamm(plans=...) — via OpSpMessagePassing's datadict key
+    for tuple-level B; node-level B (OpSpNodeMessagePassing takes no
+    datadict) calls backend.spmamm directly.
     """
     n_extra = masked_ndim - 2
     assert n_extra >= 0
-    tuv = spmamm_triples(A_indices, dim1, n_pad, node_counts, n_extra)
+    if tuv is None:
+        tuv = spmamm_triples(A_indices, dim1, n_pad, node_counts, n_extra)
     rows = bsz * n_pad ** (masked_ndim - 1)
     if isinstance(geometry, dict):
         geoms = geometry

@@ -511,13 +511,16 @@ def build_spspmm_plans_for(
     out_rows: int,
     geoms: dict,
     pad_chunks_to: Optional[int] = None,
+    n_slots: int = 2,
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
     """build_spspmm_plans with an independent geometry per role —
     ``geoms = {"fwd": g, "dx": g, "da": g}`` where each g is (C, R, S)
     or (C, R, S, Rv) (from autotune_spspmm_geoms or hand-picked; Rv
     narrows the v-operand window independently of R).  The dX/dA operand
     padding always covers the forward's padded output so the custom_vjp
-    can feed the cotangent straight through."""
+    can feed the cotangent straight through.  ``n_slots`` > 2 enables
+    deeper window prefetch in the kernel (measured within noise of the
+    default double-buffering on v5e; see BENCHMARKS.md)."""
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
     real = a < PAD_INDEX
@@ -534,7 +537,7 @@ def build_spspmm_plans_for(
     Ca, Ra, Sa, Rva = parse(geoms["da"])
     fwd = build_chunk_plan(np.stack([a, c, d]), rup(x_rows, Rf),
                            rup(a_rows, Rvf), rup(out_rows, Sf), Cf, Rf, Sf,
-                           pad_chunks_to, Rv=Rvf)
+                           pad_chunks_to, Rv=Rvf, n_slots=n_slots)
     # the gradient-side "operand" is the cotangent g, whose row count is
     # the forward's padded OUTPUT (fwd.out_rows); window-pad that
     g_rows = fwd.out_rows
@@ -545,11 +548,11 @@ def build_spspmm_plans_for(
     o1 = np.lexsort((a, c))
     dx = build_chunk_plan(np.stack([c, a, d])[:, o1], rup(g_rows, Rx),
                           rup(a_rows, Rvx), rup(x_rows, Sx), Cx, Rx, Sx,
-                          pad_chunks_to, Rv=Rvx)
+                          pad_chunks_to, Rv=Rvx, n_slots=n_slots)
     o2 = np.lexsort((c, d))
     da = build_chunk_plan(np.stack([d, c, a])[:, o2], rup(x_rows, Ra),
                           rup(g_rows, Rva), rup(a_rows, Sa), Ca, Ra, Sa,
-                          pad_chunks_to, Rv=Rva)
+                          pad_chunks_to, Rv=Rva, n_slots=n_slots)
     return fwd, dx, da
 
 

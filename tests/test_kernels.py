@@ -444,3 +444,29 @@ def test_fused_spmamm_gradients_match(rng):
         set_dense_spmamm(True)
     assert maxdiff(g1[0], g2[0]) < 1e-4
     assert maxdiff(g1[1], g2[1]) < 1e-4
+
+
+def test_fused_deeper_prefetch_matches_default(rng):
+    """Plans built with n_slots > 2 (multi-slot DMA pipeline) produce
+    identical results to the default double-buffered plans, forward and
+    gradients, through the public plan builder."""
+    from pygho_tpu.kernels import build_spspmm_plans_for
+
+    X, A, acd_p = _case(rng)
+    g = (128, 256, 128)
+    p2 = build_spspmm_plans_for(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                                {"fwd": g, "dx": g, "da": g}, n_slots=2)
+    p4 = build_spspmm_plans_for(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                                {"fwd": g, "dx": g, "da": g}, n_slots=4)
+    assert p4[0].slots == 4 and int(np.max(np.asarray(p4[0].uslot))) <= 3
+
+    def loss(xv, av, plans):
+        return (fused_spspmm(xv, av, *plans, True) ** 2).sum()
+
+    o2 = fused_spspmm(X.values, A.values, *p2, True)
+    o4 = fused_spspmm(X.values, A.values, *p4, True)
+    assert maxdiff(o2, o4) < 1e-6
+    g2 = jax.grad(loss, (0, 1))(X.values, A.values, p2)
+    g4 = jax.grad(loss, (0, 1))(X.values, A.values, p4)
+    assert maxdiff(g2[0], g4[0]) < 1e-6
+    assert maxdiff(g2[1], g4[1]) < 1e-6
