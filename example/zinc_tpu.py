@@ -44,6 +44,10 @@ parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
+parser.add_argument("--bf16", action="store_true",
+                    help="bf16 activations/compute in the sparse model's "
+                         "MLPs and norms (params stay f32); composes "
+                         "with --fused and --chained")
 parser.add_argument("--ddp", type=int, default=0,
                     help="data-parallel over N devices (sparse): shard_map "
                          "train step with pmean'd grads/BN stats; eval runs "
@@ -67,6 +71,7 @@ if args.cpu and args.ddp > 1:
                                f"{args.ddp}").strip()
 
 import jax
+import jax.numpy as jnp
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -97,7 +102,8 @@ def run_once(rep: int) -> float:
                               hiddim=args.hiddim, aggr=args.aggr,
                               npool=args.npool, lpool=args.lpool,
                               cpool=args.cpool, outlayer=args.outlayer,
-                              mlp=mlpdict, seed=rep)
+                              mlp=mlpdict, seed=rep,
+                              dtype=(jnp.bfloat16 if args.bf16 else None))
         keys = parse_precomputekey(model)
         sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
                    else partial(KhopSampler, hop=args.hop))
@@ -142,11 +148,18 @@ def run_once(rep: int) -> float:
                          devices=jax.devices()[: args.ddp])
     if args.chained:
         mode = "sparse" if args.sparse else "dense"
-        _, scan_fn = make_chained_train(mode=mode)
+        _, scan_fn, perm_scan_fn = make_chained_train(mode=mode)
         chained_eval = make_chained_eval(mode=mode)
         # eval splits don't shuffle: stack them once
         eval_stacked = {s: group_stack_batches(list(loaders[s]))
                         for s in ("val", "test")}
+        # train: collate + (fused) plan + stack ONCE; epochs reshuffle
+        # the step order on device (perm_scan) — batch membership is
+        # frozen at this first collation, and all per-epoch host work
+        # (collate ~9 ms + plan ~40-70 ms per batch) disappears
+        list(loaders["train"])      # warm padding buckets (fewer groups)
+        train_stacked = group_stack_batches(list(loaders["train"]))
+        ch_rng = np.random.default_rng(1000 + rep)
 
     sched = cosine_warm_restarts(args.lr, args.cosT, len(loaders["train"]),
                                  args.minlr, args.K, args.K2)
@@ -179,9 +192,12 @@ def run_once(rep: int) -> float:
         if args.ddp > 1:
             loss = dp_epoch()
         elif args.chained:
-            stacked = group_stack_batches(list(loaders["train"]))
-            loss = float(np.mean(np.concatenate(
-                [np.asarray(scan_fn(model, opt, g)) for g in stacked])))
+            parts = []
+            for g in train_stacked:
+                n_steps = jax.tree.leaves(g)[0].shape[0]
+                perm = ch_rng.permutation(n_steps)
+                parts.append(np.asarray(perm_scan_fn(model, opt, g, perm)))
+            loss = float(np.mean(np.concatenate(parts)))
         else:
             losses = [train_step(model, opt, b) for b in loaders["train"]]
             loss = float(np.mean([float(l) for l in losses]))

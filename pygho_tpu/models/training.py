@@ -115,40 +115,50 @@ def make_dense_steps(annotate=("",)):
     return train_step, eval_step
 
 
+def _leaf_shapes(v) -> tuple:
+    import numpy as np
+
+    return tuple(np.asarray(l).shape for l in jax.tree.leaves(v))
+
+
 def stack_batches(batches) -> Dict[str, Any]:
     """Stack same-shape collated batches along a new leading step axis
     for `make_chained_sparse_train`'s scan path.  All batches must come
     from the same padding bucket (the loader's bucketing makes shapes
     within a bucket identical) — use `group_stack_batches` for a mixed
-    epoch."""
+    epoch.  Pytree-valued entries (e.g. the loader's fused-kernel
+    ``...___plan`` ChunkPlan triples) are stacked leaf-wise: lax.scan
+    then slices each step's plan arrays back out while the static plan
+    geometry rides the (shared) treedef."""
     import numpy as np
 
     keys = batches[0].keys()
     for b in batches[1:]:
         assert b.keys() == keys, "batches disagree on keys"
-    out = {}
-    for k in keys:
-        arrs = [np.asarray(b[k]) for b in batches]
+
+    def _stack_leaves(k, *xs):
+        arrs = [np.asarray(x) for x in xs]
         shapes = {a.shape for a in arrs}
         if len(shapes) > 1:
             raise ValueError(
                 f"stack_batches: key {k!r} has mixed shapes {shapes} — "
                 "batches span multiple padding buckets; use "
                 "group_stack_batches(batches) and scan each group")
-        out[k] = np.stack(arrs)
-    return out
+        return np.stack(arrs)
+
+    return {k: jax.tree.map(partial(_stack_leaves, k),
+                            *[b[k] for b in batches])
+            for k in keys}
 
 
 def group_stack_batches(batches) -> list:
-    """Group collated batches by shape signature and stack each group:
-    returns a list of stacked dicts, one per padding bucket, each
+    """Group collated batches by (leaf-)shape signature and stack each
+    group: returns a list of stacked dicts, one per padding bucket, each
     consumable by `make_chained_sparse_train`'s scan path (one compiled
     program + one dispatch per bucket instead of per batch)."""
-    import numpy as np
-
     groups: Dict[tuple, list] = {}
     for b in batches:
-        sig = tuple(sorted((k, np.asarray(v).shape) for k, v in b.items()))
+        sig = tuple(sorted((k, _leaf_shapes(v)) for k, v in b.items()))
         groups.setdefault(sig, []).append(b)
     return [stack_batches(g) for g in groups.values()]
 
@@ -234,7 +244,32 @@ def make_chained_train(annotate=("",), loss: str = "l1",
         nnx.update((model, optimizer), state)
         return losses
 
-    return chain_fn, scan_fn
+    # Device-side epoch reshuffle: collate + plan + stack the epoch ONCE
+    # (all host work amortized over the run), then each epoch scans a
+    # fresh step-order permutation — the scan body dynamic-slices batch
+    # `perm[i]` out of the resident stacked arrays.  Semantics = a
+    # python loop over the same fixed batches in permuted order (batch
+    # *membership* is frozen at the first collation, unlike a
+    # per-epoch-recollating loader — the classic pre-batched-shuffle
+    # tradeoff).
+    @partial(jax.jit, static_argnums=0)
+    def _perm_scan_run(graphdef, state, stacked, perm):
+        def body(state, p):
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, p, keepdims=False), stacked)
+            return _one_step(graphdef, state, batch)
+
+        return jax.lax.scan(body, state, perm)
+
+    def perm_scan_fn(model, optimizer, stacked, perm):
+        graphdef, state = nnx.split((model, optimizer))
+        state, losses = _perm_scan_run(graphdef, state, stacked,
+                                       jnp.asarray(perm, jnp.int32))
+        nnx.update((model, optimizer), state)
+        return losses
+
+    return chain_fn, scan_fn, perm_scan_fn
 
 
 def make_chained_sparse_train(annotate=("",), loss: str = "l1"):

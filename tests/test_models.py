@@ -202,7 +202,7 @@ def test_chained_train_matches_python_loop():
     train_step, eval_step = make_sparse_steps()
 
     ref_losses = [float(train_step(model_a, opt_a, b)) for b in batches]
-    chain_fn, scan_fn = make_chained_sparse_train()
+    chain_fn, scan_fn, _ = make_chained_sparse_train()
     losses = np.asarray(scan_fn(model_b, opt_b, stack_batches(batches)))
     assert np.abs(losses - np.asarray(ref_losses)).max() < 1e-5, (
         losses, ref_losses)
@@ -216,6 +216,39 @@ def test_chained_train_matches_python_loop():
     l0 = float(train_step(model_b, opt_b, batches[0]))
     lN = float(chain_fn(model_b, opt_b, batches[0], 5))
     assert np.isfinite(lN) and lN < l0
+
+
+def test_perm_scan_matches_python_loop():
+    """Device-side epoch reshuffle (perm_scan over resident stacked
+    batches) == a python loop over the same batches in permuted order;
+    plan pytrees stack and slice through the scan."""
+    from pygho_tpu.models.training import (make_chained_sparse_train,
+                                           stack_batches)
+
+    model_a, _ = _sp_loader("NGNN", n_graphs=16, bs=8)
+    model_b = make_sp_model("NGNN", num_layer=2, hiddim=16,
+                            mlp=dict(MLPD))
+    # d=16 < 128 so the fused route falls back, but the plan pytrees
+    # still ride the batch dict through stacking and the scan slice
+    keys = parse_precomputekey(model_a)
+    graphs = synthetic_zinc("train", n_graphs=16)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    dl = SpDataloader([pre(g) for g in graphs], 8, keys, device_put=False,
+                      prefetch=0, build_plans=True,
+                      plan_geometry=(128, 256, 128), plan_dim=16)
+    list(dl)             # warm the padding buckets
+    batches = list(dl)   # second pass: uniform shapes within buckets
+    assert any(k.endswith("___plan") for k in batches[0])
+    perm = np.array([1, 0])
+
+    opt_a = make_optimizer(model_a, 1e-2)
+    opt_b = make_optimizer(model_b, 1e-2)
+    train_step, _ = make_sparse_steps()
+    ref = [float(train_step(model_a, opt_a, batches[p])) for p in perm]
+    _, _, perm_scan_fn = make_chained_sparse_train()
+    got = np.asarray(perm_scan_fn(model_b, opt_b, stack_batches(batches),
+                                  perm))
+    assert np.abs(got - np.asarray(ref)).max() < 1e-5, (got, ref)
 
 
 def test_chained_eval_and_dense_chain():
@@ -239,7 +272,7 @@ def test_chained_eval_and_dense_chain():
     opt_b = make_optimizer(model_b, 1e-2)
 
     ref_losses = [float(train_step(model_a, opt_a, b)) for b in batches]
-    _, scan_fn = make_chained_train(mode="dense")
+    _, scan_fn, _ = make_chained_train(mode="dense")
     got = [float(l) for g in group_stack_batches(batches)
            for l in np.asarray(scan_fn(model_b, opt_b, g))]
     assert np.abs(np.array(got) - np.array(ref_losses)).max() < 1e-5
@@ -273,6 +306,6 @@ def test_group_stack_batches_mixed_buckets():
     groups = group_stack_batches(batches + [fake])
     assert sum(g["x"].shape[0] for g in groups) == len(batches) + 1
     opt = make_optimizer(model, 1e-2)
-    _, scan_fn = make_chained_sparse_train()
+    _, scan_fn, _ = make_chained_sparse_train()
     for g in group_stack_batches(batches):
         assert np.isfinite(np.asarray(scan_fn(model, opt, g))).all()
