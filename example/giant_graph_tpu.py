@@ -26,6 +26,12 @@ parser.add_argument("--hiddim", type=int, default=32)
 parser.add_argument("--num_layer", type=int, default=3)
 parser.add_argument("--steps", type=int, default=30)
 parser.add_argument("--lr", type=float, default=1e-4)
+parser.add_argument("--strategy",
+                    choices=["overlapped", "ring", "reduce_scatter"],
+                    default="overlapped",
+                    help="boundary exchange: all_gather pools / ppermute "
+                         "ring (O(Bnd) peak memory) / psum_scatter over "
+                         "ownership bands (structure-free)")
 args = parser.parse_args()
 
 import os
@@ -81,9 +87,10 @@ nnz_pad = ((indexing.bucket_size(tup.shape[1]) + P - 1) // P) * P
 tid = indexing.pad_indices(tup, nnz_pad)
 acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
 mesh = make_mesh((P,), ("sp",))
-plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, P)
-print(f"plan: {plan.B} tuple rows/device, boundary pool "
-      f"{plan.contraction.Bnd} rows/device")
+plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, P,
+                              strategy=args.strategy)
+print(f"plan ({args.strategy}): {plan.B} tuple rows/device, boundary "
+      f"pool {getattr(plan.contraction, 'Bnd', plan.B)} rows/device")
 
 # 4. train
 d = args.hiddim

@@ -34,17 +34,22 @@ from ..backend.segment import segment_reduce
 from .tuple_parallel import (OverlappedShardPlan, _overlapped_contract,
                              build_overlapped_shard_plan,
                              RingShardPlan, _ring_contract,
-                             build_ring_shard_plan)
+                             build_ring_shard_plan,
+                             ReduceScatterShardPlan,
+                             build_reduce_scatter_shard_plan)
 
 
 @dataclasses.dataclass(frozen=True)
 class GiantGraphPlan:
     """Sharding plan for one giant graph's NGNN stack.
 
-    ``contraction`` is either an OverlappedShardPlan (one boundary-pool
-    all_gather per layer, peak boundary memory P*Bnd rows) or a
-    RingShardPlan (ppermute ring, peak Bnd rows) — pick "ring" when the
-    gathered pool itself would blow HBM at giant scale."""
+    ``contraction`` is an OverlappedShardPlan (one boundary-pool
+    all_gather per layer, peak boundary memory P*Bnd rows), a
+    RingShardPlan (ppermute ring, peak Bnd rows — pick "ring" when the
+    gathered pool itself would blow HBM at giant scale), or a
+    ReduceScatterShardPlan (input-stationary full-range partials +
+    psum_scatter — the structure-free choice when boundaries approach
+    full blocks)."""
     contraction: Any                   # per-layer (same pattern every layer)
     root_ids: jax.Array                # i32[P, B] root node per local tuple
     n_nodes: int                       # padded node count (output rows)
@@ -65,6 +70,8 @@ def build_giant_graph_plan(acd: np.ndarray, tupleid: np.ndarray,
         contraction = build_ring_shard_plan(acd, nnz_pad, P)
     elif strategy == "overlapped":
         contraction = build_overlapped_shard_plan(acd, nnz_pad, P)
+    elif strategy == "reduce_scatter":
+        contraction = build_reduce_scatter_shard_plan(acd, nnz_pad, P)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     B = nnz_pad // P
@@ -107,7 +114,25 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     """
     c = plan.contraction
     is_ring = isinstance(c, RingShardPlan)
-    aux = c.acd_ring if is_ring else c.acd_bnd
+    is_rs = isinstance(c, ReduceScatterShardPlan)
+    if is_rs:
+        # no boundary sets: pass zero-size dummies through the plumbing
+        aux = jnp.zeros((plan.P, 1, 3), jnp.int32)
+        send = jnp.zeros((plan.P, 1), jnp.int32)
+    else:
+        aux = c.acd_ring if is_ring else c.acd_bnd
+        send = c.send_idx
+
+    def _rs_contract(h, Av, loc):
+        av = h[jnp.minimum(loc[:, 1], h.shape[0] - 1)]
+        bv = Av[jnp.minimum(loc[:, 2], Av.shape[0] - 1)]
+        while bv.ndim < av.ndim:
+            bv = bv[..., None]
+        partial = segment_reduce(av * bv, loc[:, 0], plan.P * plan.B,
+                                 "sum", indices_are_sorted=True)
+        return jax.lax.psum_scatter(
+            partial.reshape((plan.P, plan.B) + partial.shape[1:]),
+            axis, scatter_dimension=0, tiled=False)
 
     def device_forward(params, Xblk, Av, loc, bnd, send_l, roots):
         Xb = Xblk[0]                                    # (B, D)
@@ -115,8 +140,11 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
             h = jax.nn.relu(Xb @ lay["w"] + lay["b"])   # local MLP rows
             # contraction of the POST-MLP values: overlapped starts the
             # boundary all_gather and reduces local triples under it;
-            # ring rotates boundary pools with ppermute per step
-            if is_ring:
+            # ring rotates boundary pools with ppermute per step;
+            # reduce_scatter sums full-range partials into own bands
+            if is_rs:
+                out = _rs_contract(h, Av, loc[0])
+            elif is_ring:
                 out = _ring_contract(h, Av, loc[0], bnd[0], send_l[0],
                                      plan.P, plan.B, axis)
             else:
@@ -166,14 +194,14 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     @jax.jit
     def loss_fn(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
-        return loss_sm(params, Xs, Av, c.acd_loc, aux, c.send_idx,
+        return loss_sm(params, Xs, Av, c.acd_loc, aux, send,
                        plan.root_ids, y)
 
     @jax.jit
     def step(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
         loss, grads = grad_sm(params, Xs, Av, c.acd_loc, aux,
-                              c.send_idx, plan.root_ids, y)
+                              send, plan.root_ids, y)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss
 

@@ -289,6 +289,56 @@ def test_giant_graph_training(rng):
     assert worst < 1e-4, worst
 
 
+@pytest.mark.parametrize("strategy", ["ring", "reduce_scatter"])
+def test_giant_graph_strategies_match_overlapped(rng, strategy):
+    """Every giant-graph contraction strategy yields the same loss and
+    one-step parameter update as the default overlapped plan."""
+    import scipy.sparse as ssp
+
+    from pygho_tpu.parallel.giant import (build_giant_graph_plan,
+                                          init_giant_params,
+                                          make_giant_graph_step)
+
+    n, d, L = 80, 8, 2
+    adj = (rng.random((n, n)) < 0.07)
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    edges = np.stack(np.nonzero(adj)).astype(np.int64)
+    spd = ssp.csgraph.shortest_path(
+        ssp.coo_matrix((np.ones(edges.shape[1]), (edges[0], edges[1])),
+                       (n, n)).tocsr(), unweighted=True)
+    ii, jj = np.nonzero(spd <= 2)
+    tup = np.stack([ii, jj]).astype(np.int64)
+    nnz_pad = indexing.bucket_size(tup.shape[1], 512)
+    tid = indexing.pad_indices(tup, nnz_pad)
+    tar, bcd = indexing.spspmm_ind(tup, 1, edges, 0)
+    acd_p = indexing.pad_acd(indexing.filterind(tup, tar, bcd),
+                             indexing.bucket_size(
+                                 indexing.filterind(tup, tar, bcd).shape[1]))
+
+    mesh = make_mesh((8,), ("sp",))
+    params = init_giant_params(L, d)
+    Xv = jnp.asarray(indexing.pad_values(
+        rng.normal(size=(tup.shape[1], d)).astype(np.float32), nnz_pad))
+    Av = jnp.asarray(rng.normal(size=(edges.shape[1], d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    def run(strat):
+        plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, 8,
+                                      strategy=strat)
+        loss_fn, step = make_giant_graph_step(mesh, plan, L, lr=1e-4)
+        p1, l = step(params, Xv, Av, y)
+        return float(l), p1
+
+    l_ref, p_ref = run("overlapped")
+    l_got, p_got = run(strategy)
+    assert abs(l_got - l_ref) < 1e-4 * max(1.0, abs(l_ref))
+    worst = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(p_got),
+                                jax.tree.leaves(p_ref)))
+    assert worst < 1e-5, worst
+
+
 def test_scatter_tuple_parallel_matches_spspmm(rng):
     """v4 (pre-reduced output bands + all_to_all) equals the
     single-device contraction; the chooser picks a valid strategy."""
