@@ -38,6 +38,10 @@ parser.add_argument("--cosT", type=int, default=100)
 parser.add_argument("--K", type=float, default=0.0)
 parser.add_argument("--K2", type=float, default=0.0)
 parser.add_argument("--repeat", type=int, default=1)
+parser.add_argument("--ntrain", type=int, default=None,
+                    help="training-set size (default 1024 synthetic "
+                         "graphs; 10000 matches the reference's "
+                         "ZINC-subset scale)")
 parser.add_argument("--epochs", type=int, default=100)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--num_layer", type=int, default=6)
@@ -118,8 +122,11 @@ def run_once(rep: int) -> float:
         pre = Mapretransform(partial(spdsampler, hop=args.hop), [""])
         tag = f"ma_{args.conv}_h{args.hop}"
 
-    ds = {s: ParallelPreprocessDataset(f"dataset/SYNZINC_{tag}_{s}",
-                                       synthetic_zinc(s), pre, 0)
+    ds = {s: ParallelPreprocessDataset(
+        f"dataset/SYNZINC_{tag}_{s}"
+        + (f"_n{args.ntrain}" if s == "train" and args.ntrain else ""),
+        synthetic_zinc(s, n_graphs=args.ntrain if s == "train" else None),
+        pre, 0)
           for s in ("train", "val", "test")}
     if args.sparse:
         if args.fused:
@@ -158,7 +165,12 @@ def run_once(rep: int) -> float:
         # frozen at this first collation, and all per-epoch host work
         # (collate ~9 ms + plan ~40-70 ms per batch) disappears
         list(loaders["train"])      # warm padding buckets (fewer groups)
-        train_stacked = group_stack_batches(list(loaders["train"]))
+        # device_put once: leaving numpy leaves would re-transfer the
+        # whole stacked epoch on every perm_scan call (seconds over a
+        # remote tunnel)
+        train_stacked = jax.device_put(
+            group_stack_batches(list(loaders["train"])))
+        eval_stacked = jax.device_put(eval_stacked)
         ch_rng = np.random.default_rng(1000 + rep)
 
     sched = cosine_warm_restarts(args.lr, args.cosT, len(loaders["train"]),
