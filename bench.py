@@ -232,7 +232,7 @@ def main():
     # python-loop numbers above ------------------------------------------
     from pygho_tpu.models.training import make_chained_sparse_train
 
-    chain_fn, _ = make_chained_sparse_train()
+    chain_fn, _, _ = make_chained_sparse_train()
     cstep = {}
     for tag, cbatch in (("xla", batch), ("fused", fbatch)):
         if tag == "fused":

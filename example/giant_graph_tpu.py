@@ -89,8 +89,13 @@ acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
 mesh = make_mesh((P,), ("sp",))
 plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, P,
                               strategy=args.strategy)
-print(f"plan ({args.strategy}): {plan.B} tuple rows/device, boundary "
-      f"pool {getattr(plan.contraction, 'Bnd', plan.B)} rows/device")
+if hasattr(plan.contraction, "Bnd"):
+    print(f"plan ({args.strategy}): {plan.B} tuple rows/device, "
+          f"boundary pool {plan.contraction.Bnd} rows/device")
+else:
+    print(f"plan ({args.strategy}): {plan.B} tuple rows/device, "
+          f"exchange {P * plan.B} full-range partial rows/device "
+          f"(reduce_scatter, no boundary sets)")
 
 # 4. train
 d = args.hiddim

@@ -133,12 +133,18 @@ def run_once(rep: int) -> float:
             from pygho_tpu.kernels.fused_spspmm import set_fused_math
 
             set_fused_math(False)
+        # chained mode stacks on host and device_puts once — per-batch
+        # device_put would move the epoch over the link several times
         mk = lambda split, **kw: SpDataloader(ds[split].datas, args.bs,
                                               keys, build_plans=args.fused,
-                                              plan_dim=args.hiddim, **kw)
+                                              plan_dim=args.hiddim,
+                                              device_put=not args.chained,
+                                              **kw)
         train_step, eval_step = make_sparse_steps()
     else:
-        mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs, **kw)
+        mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs,
+                                              device_put=not args.chained,
+                                              **kw)
         train_step, eval_step = make_dense_steps()
     loaders = {"train": mk("train", shuffle=True, drop_last=True),
                "val": mk("val"), "test": mk("test")}
@@ -205,7 +211,10 @@ def run_once(rep: int) -> float:
             loss = dp_epoch()
         elif args.chained:
             parts = []
-            for g in train_stacked:
+            # shuffle group visit order too — a frozen bucket order
+            # would bias BN running stats toward the last bucket
+            for gi in ch_rng.permutation(len(train_stacked)):
+                g = train_stacked[gi]
                 n_steps = jax.tree.leaves(g)[0].shape[0]
                 perm = ch_rng.permutation(n_steps)
                 parts.append(np.asarray(perm_scan_fn(model, opt, g, perm)))

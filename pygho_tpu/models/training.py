@@ -118,7 +118,8 @@ def make_dense_steps(annotate=("",)):
 def _leaf_shapes(v) -> tuple:
     import numpy as np
 
-    return tuple(np.asarray(l).shape for l in jax.tree.leaves(v))
+    # np.shape reads metadata only — no D2H transfer for device arrays
+    return tuple(np.shape(l) for l in jax.tree.leaves(v))
 
 
 def stack_batches(batches) -> Dict[str, Any]:
@@ -178,7 +179,7 @@ def make_chained_train(annotate=("",), loss: str = "l1",
     """Device-side multi-step training: one jit program per call instead
     of one dispatch per batch.
 
-    Returns ``(chain_fn, scan_fn)``:
+    Returns ``(chain_fn, scan_fn, perm_scan_fn)``:
 
     - ``chain_fn(model, opt, batch, n_steps)`` repeats one batch
       ``n_steps`` times in a ``lax.fori_loop`` (benchmarking / tiny
@@ -186,8 +187,15 @@ def make_chained_train(annotate=("",), loss: str = "l1",
     - ``scan_fn(model, opt, stacked)`` consumes ``stack_batches(...)``
       output via ``lax.scan`` — a whole epoch in one dispatch; returns
       per-step losses.
+    - ``perm_scan_fn(model, opt, stacked, perm)`` scans the resident
+      stacked batches in the step order ``perm`` (i32[n_steps]) —
+      device-side epoch reshuffle with zero per-epoch host work.  Batch
+      membership is frozen at stacking time, and the permutation ranges
+      over one stacked group only (callers with several padding-bucket
+      groups should also shuffle the group visit order per epoch).
+      device_put the stacked dict once, or every call re-transfers it.
 
-    Both update model/optimizer state in place (nnx.update), matching a
+    All update model/optimizer state in place (nnx.update), matching a
     python loop of `make_sparse_steps` (or `make_dense_steps` for
     mode="dense") train_step bit-for-bit.  The win is host-dispatch
     elimination: with a remote device (or any high-latency link)

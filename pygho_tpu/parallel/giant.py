@@ -36,7 +36,8 @@ from .tuple_parallel import (OverlappedShardPlan, _overlapped_contract,
                              RingShardPlan, _ring_contract,
                              build_ring_shard_plan,
                              ReduceScatterShardPlan,
-                             build_reduce_scatter_shard_plan)
+                             build_reduce_scatter_shard_plan,
+                             _pool_contract)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,12 +125,8 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
         send = c.send_idx
 
     def _rs_contract(h, Av, loc):
-        av = h[jnp.minimum(loc[:, 1], h.shape[0] - 1)]
-        bv = Av[jnp.minimum(loc[:, 2], Av.shape[0] - 1)]
-        while bv.ndim < av.ndim:
-            bv = bv[..., None]
-        partial = segment_reduce(av * bv, loc[:, 0], plan.P * plan.B,
-                                 "sum", indices_are_sorted=True)
+        # full-range partial (shared gather/segment body) + psum_scatter
+        partial = _pool_contract(h, Av, loc, plan.P * plan.B)
         return jax.lax.psum_scatter(
             partial.reshape((plan.P, plan.B) + partial.shape[1:]),
             axis, scatter_dimension=0, tiled=False)
