@@ -119,3 +119,55 @@ def test_fuzz_collate_roundtrip(seed):
         mask[off:off + n, off:off + n] = True
         off += n
     assert np.all(dense[~mask] == 0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_fused_geometry_and_slots(seed):
+    """Random (C, R, S, Rv) + prefetch depth (slots) through the
+    per-role plan builder: forward and both grads match XLA."""
+    from pygho_tpu.kernels import build_spspmm_plans_for
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(12, 40))
+    density = float(rng.uniform(0.15, 0.5))
+    C = int(rng.choice([64, 128, 256]))
+    R = int(rng.choice([96, 128, 192, 256]))
+    S = int(rng.choice([64, 128, 256]))
+    Rv = int(rng.choice([64, 96, 128]))
+    slots = int(rng.choice([2, 3, 4]))
+    dense = rng.normal(size=(n, n)) * (rng.random((n, n)) < density)
+    ind = np.stack(np.nonzero(dense)).astype(np.int64)
+    if ind.shape[1] < 4:
+        return
+    nnz_pad = indexing.bucket_size(ind.shape[1])
+    D = 128
+    X = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], D)).astype(np.float32), (n, n),
+        nnz_pad=nnz_pad)
+    A = SparseTensor.from_numpy(
+        ind, rng.normal(size=(ind.shape[1], D)).astype(np.float32), (n, n),
+        nnz_pad=nnz_pad)
+    tar, bcd = indexing.spspmm_ind(ind, 1, ind, 0)
+    acd = indexing.filterind(ind, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+    g = (C, R, S, Rv)
+    plans = build_spspmm_plans_for(acd_p, nnz_pad, nnz_pad, nnz_pad,
+                                   {"fwd": g, "dx": g, "da": g},
+                                   n_slots=slots)
+    got = fused_spspmm(X.values, A.values, *plans, True)[:nnz_pad]
+    assert maxdiff(got, ref.values) < 1e-4, (g, slots)
+
+    def loss_f(xv, av):
+        return (fused_spspmm(xv, av, *plans, True)[:nnz_pad] ** 2).sum()
+
+    def loss_r(xv, av):
+        Xs = SparseTensor(X.indices, xv, X.nnz, X.sparse_shape)
+        As = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+        return (spspmm(Xs, 1, As, 0, "sum", acd=jnp.asarray(acd_p),
+                       tarX=Xs).values ** 2).sum()
+
+    gf = jax.grad(loss_f, (0, 1))(X.values, A.values)
+    gr = jax.grad(loss_r, (0, 1))(X.values, A.values)
+    assert maxdiff(gf[0], gr[0]) < 1e-3, (g, slots)
+    assert maxdiff(gf[1], gr[1]) < 1e-3, (g, slots)
