@@ -149,9 +149,7 @@ def run_once(rep: int) -> float:
     loaders = {"train": mk("train", shuffle=True, drop_last=True),
                "val": mk("val"), "test": mk("test")}
     if args.ddp > 1:
-        assert args.sparse and not args.chained, (
-            "--ddp is the sparse shard_map path; --chained composes "
-            "per-device batches instead")
+        assert args.sparse, "--ddp is the sparse shard_map path"
         from flax import nnx
         from pygho_tpu.parallel import (make_mesh, collate_sharded_sparse,
                                         make_dp_train_step)
@@ -170,14 +168,15 @@ def run_once(rep: int) -> float:
         # the step order on device (perm_scan) — batch membership is
         # frozen at this first collation, and all per-epoch host work
         # (collate ~9 ms + plan ~40-70 ms per batch) disappears
-        list(loaders["train"])      # warm padding buckets (fewer groups)
-        # device_put once: leaving numpy leaves would re-transfer the
-        # whole stacked epoch on every perm_scan call (seconds over a
-        # remote tunnel)
-        train_stacked = jax.device_put(
-            group_stack_batches(list(loaders["train"])))
         eval_stacked = jax.device_put(eval_stacked)
         ch_rng = np.random.default_rng(1000 + rep)
+        if args.ddp <= 1:
+            list(loaders["train"])  # warm padding buckets (fewer groups)
+            # device_put once: leaving numpy leaves would re-transfer
+            # the whole stacked epoch on every perm_scan call (seconds
+            # over a remote tunnel)
+            train_stacked = jax.device_put(
+                group_stack_batches(list(loaders["train"])))
 
     sched = cosine_warm_restarts(args.lr, args.cosT, len(loaders["train"]),
                                  args.minlr, args.K, args.K2)
@@ -185,23 +184,45 @@ def run_once(rep: int) -> float:
     metrics = MetricsLogger(f"runs/zinc_{tag}_r{rep}.jsonl")
     if args.ddp > 1:
         graphdef, dp_state = nnx.split((model, opt))
-        dp_train = make_dp_train_step(mesh, graphdef)
         dp_rng = np.random.default_rng(rep)
         dp_buckets = {}
+        if args.chained:
+            # dp x chained composition: stack the sharded epoch once,
+            # scan a device-side step permutation each epoch
+            from pygho_tpu.models.training import stack_batches
+            from pygho_tpu.parallel import make_dp_chained_train
 
-        def dp_epoch():
-            nonlocal dp_state
             datas, per = ds["train"].datas, args.bs // args.ddp
-            order = dp_rng.permutation(len(datas))
-            losses = []
-            for i in range(0, len(datas) - args.bs + 1, args.bs):
-                chunk = [datas[j] for j in order[i:i + args.bs]]
-                sb = collate_sharded_sparse(chunk, args.ddp, per, keys,
-                                            buckets=dp_buckets)
-                dp_state, loss = dp_train(dp_state, sb)
-                losses.append(loss)
-            nnx.update((model, opt), dp_state)   # sync for eval
-            return float(np.mean([float(l) for l in losses]))
+            nb = len(datas) // args.bs
+            mkb = lambda: [collate_sharded_sparse(
+                datas[i * args.bs:(i + 1) * args.bs], args.ddp, per,
+                keys, buckets=dp_buckets) for i in range(nb)]
+            mkb()                       # warm shared buckets
+            dp_stacked = jax.device_put(stack_batches(mkb()))
+            dp_scan = make_dp_chained_train(mesh, graphdef)
+
+            def dp_epoch():
+                nonlocal dp_state
+                perm = dp_rng.permutation(nb)
+                dp_state, losses = dp_scan(dp_state, dp_stacked, perm)
+                nnx.update((model, opt), dp_state)   # sync for eval
+                return float(np.mean(np.asarray(losses)))
+        else:
+            dp_train = make_dp_train_step(mesh, graphdef)
+
+            def dp_epoch():
+                nonlocal dp_state
+                datas, per = ds["train"].datas, args.bs // args.ddp
+                order = dp_rng.permutation(len(datas))
+                losses = []
+                for i in range(0, len(datas) - args.bs + 1, args.bs):
+                    chunk = [datas[j] for j in order[i:i + args.bs]]
+                    sb = collate_sharded_sparse(chunk, args.ddp, per, keys,
+                                                buckets=dp_buckets)
+                    dp_state, loss = dp_train(dp_state, sb)
+                    losses.append(loss)
+                nnx.update((model, opt), dp_state)   # sync for eval
+                return float(np.mean([float(l) for l in losses]))
 
     best_val, tst = float("inf"), float("inf")
     for epoch in range(1, args.epochs + 1):

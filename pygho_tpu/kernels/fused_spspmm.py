@@ -431,8 +431,8 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
         in_specs=[
             pl.BlockSpec((1, 3, C),
                          lambda i, *refs: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((S, D),
                                lambda i, ub, vb, ob, *refs: (ob[i], 0)),

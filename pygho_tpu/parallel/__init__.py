@@ -17,7 +17,7 @@ subsystem is net-new design per BASELINE.json:
 
 from .mesh import make_mesh
 from .data_parallel import (collate_sharded_sparse, make_dp_train_step,
-                            make_dp_eval_step)
+                            make_dp_eval_step, make_dp_chained_train)
 from .tuple_parallel import (spspmm_tuple_parallel,
                              make_tuple_parallel_spspmm,
                              build_tuple_shard_plan, make_partitioned_spspmm,
@@ -38,7 +38,8 @@ from .pipeline import (build_pipeline_plan, init_pipeline_params,
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
-    "make_dp_eval_step", "spspmm_tuple_parallel",
+    "make_dp_eval_step", "make_dp_chained_train",
+    "spspmm_tuple_parallel",
     "make_tuple_parallel_spspmm", "build_tuple_shard_plan",
     "make_partitioned_spspmm", "build_overlapped_shard_plan",
     "make_overlapped_spspmm", "build_scatter_shard_plan",

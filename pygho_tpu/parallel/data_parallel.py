@@ -138,6 +138,61 @@ def make_dp_train_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
     return jax.jit(step)
 
 
+def make_dp_chained_train(mesh: Mesh, graphdef,
+                          annotate: Sequence[str] = ("",),
+                          axis: str = "dp"):
+    """Chained (whole-epoch lax.scan) data-parallel training — the DP
+    composition of models.training's perm_scan path: one device dispatch
+    per epoch AND pmean'd gradients/BN stats per step.
+
+    Usage::
+
+        graphdef, state = nnx.split((model, optimizer))
+        scan_fn = make_dp_chained_train(mesh, graphdef)
+        stacked = stack_batches([collate_sharded_sparse(...), ...])
+        stacked = jax.device_put(stacked)      # resident epoch
+        state, losses = scan_fn(state, stacked, perm)   # each epoch
+
+    ``stacked`` leaves have leading axes (steps, dp, ...); ``perm``
+    (i32[steps]) is the epoch's step order.  Batch membership is frozen
+    at stacking time (see models.training.stack_batches)."""
+
+    def device_body(state, stacked, perm):
+        def one(state, p):
+            batch = jax.tree.map(
+                lambda x: _take_shard(jax.lax.dynamic_index_in_dim(
+                    x, p, keepdims=False)), stacked)
+            model, optimizer = nnx.merge(graphdef, state)
+
+            def loss_fn(model):
+                dd = batch_to_sparse_dict(batch, annotate)
+                pred = model(dd)
+                return masked_l1_loss(pred, batch["y"],
+                                      batch["graph_mask"])
+
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+            optimizer.update(model, grads)
+            _pmean_stats(model, axis)
+            _, new_state = nnx.split((model, optimizer))
+            return new_state, jax.lax.pmean(loss, axis)
+
+        return jax.lax.scan(one, state, perm)
+
+    def fn(state, stacked, perm):
+        body = jax.shard_map(
+            device_body, mesh=mesh,
+            in_specs=(P(), jax.tree.map(lambda _: P(None, axis), stacked),
+                      P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+            axis_names=frozenset({axis}),
+        )
+        return body(state, stacked, jnp.asarray(perm, jnp.int32))
+
+    return jax.jit(fn)
+
+
 def make_dp_eval_step(mesh: Mesh, graphdef, annotate: Sequence[str] = ("",),
                       axis: str = "dp"):
     def device_body(state, batch):

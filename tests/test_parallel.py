@@ -60,6 +60,53 @@ def test_dp_train_step_runs_and_learns():
     nnx.update((model, opt), state)
 
 
+def test_dp_chained_matches_step_loop():
+    """Whole-epoch dp scan (make_dp_chained_train) == a python loop of
+    make_dp_train_step over the same sharded batches in perm order."""
+    from pygho_tpu.models.training import stack_batches
+    from pygho_tpu.parallel import make_dp_chained_train
+
+    def build():
+        model = make_sp_model("NGNN", num_layer=2, hiddim=16,
+                              mlp={"norm": "bn", "act": "silu"})
+        opt = make_optimizer(model, 1e-2)
+        return nnx.split((model, opt))
+
+    keys = parse_precomputekey(make_sp_model(
+        "NGNN", num_layer=2, hiddim=16,
+        mlp={"norm": "bn", "act": "silu"}))
+    graphs = synthetic_zinc("train", n_graphs=48)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    mesh = make_mesh((8,), ("dp",))
+    buckets = {}
+    batches = [collate_sharded_sparse(datas[i * 16:(i + 1) * 16], 8, 2,
+                                      keys, buckets=buckets)
+               for i in range(3)]
+    # re-collate after warming so shapes are uniform across steps
+    batches = [collate_sharded_sparse(datas[i * 16:(i + 1) * 16], 8, 2,
+                                      keys, buckets=buckets)
+               for i in range(3)]
+    perm = np.array([2, 0, 1])
+
+    graphdef, state_a = build()
+    step = make_dp_train_step(mesh, graphdef)
+    ref = []
+    for p in perm:
+        state_a, l = step(state_a, batches[p])
+        ref.append(float(l))
+
+    _, state_b = build()
+    scan_fn = make_dp_chained_train(mesh, graphdef)
+    state_b, losses = scan_fn(state_b, stack_batches(batches), perm)
+    assert np.abs(np.asarray(losses) - np.asarray(ref)).max() < 1e-5, (
+        losses, ref)
+    worst = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(state_a),
+                                jax.tree.leaves(state_b)))
+    assert worst < 1e-5, worst
+
+
 def test_dp_matches_single_device_first_step():
     """One DP step over 8 shards == one single-device step over the same
     64 graphs (grads are exact means since every shard has equal graph
