@@ -186,6 +186,9 @@ def run_once(rep: int) -> float:
         graphdef, dp_state = nnx.split((model, opt))
         dp_rng = np.random.default_rng(rep)
         dp_buckets = {}
+        dp_geoms = {}
+        dp_kw = dict(build_plans=args.fused, plan_dim=args.hiddim,
+                     geoms_cache=dp_geoms)
         if args.chained:
             # dp x chained composition: stack the sharded epoch once,
             # scan a device-side step permutation each epoch
@@ -196,7 +199,7 @@ def run_once(rep: int) -> float:
             nb = len(datas) // args.bs
             mkb = lambda: [collate_sharded_sparse(
                 datas[i * args.bs:(i + 1) * args.bs], args.ddp, per,
-                keys, buckets=dp_buckets) for i in range(nb)]
+                keys, buckets=dp_buckets, **dp_kw) for i in range(nb)]
             mkb()                       # warm shared buckets
             dp_stacked = jax.device_put(stack_batches(mkb()))
             dp_scan = make_dp_chained_train(mesh, graphdef)
@@ -218,7 +221,7 @@ def run_once(rep: int) -> float:
                 for i in range(0, len(datas) - args.bs + 1, args.bs):
                     chunk = [datas[j] for j in order[i:i + args.bs]]
                     sb = collate_sharded_sparse(chunk, args.ddp, per, keys,
-                                                buckets=dp_buckets)
+                                                buckets=dp_buckets, **dp_kw)
                     dp_state, loss = dp_train(dp_state, sb)
                     losses.append(loss)
                 nnx.update((model, opt), dp_state)   # sync for eval

@@ -132,6 +132,84 @@ class _BaseLoader:
             batch)
 
 
+def add_spspmm_plans(batch, keys, buckets, geoms_cache,
+                     plan_geometry="autotune", plan_dim: int = 128):
+    """Build fused-kernel chunk plans for every precompute key of one
+    collated batch (in place: ``batch["<key>___plan"]``).  Shared
+    ``buckets``/``geoms_cache`` dicts keep chunk counts and geometry
+    stable across batches (and across the shards of one sharded batch).
+    Used by SpDataloader(build_plans=True) and
+    parallel.collate_sharded_sparse(build_plans=True)."""
+    from ..backend.indexing import bucket_size
+    from ..honn.sp_operator import KEYSEP
+    from ..hodata.sp_data import parsekey
+    from ..kernels import (build_spspmm_plans, build_spspmm_plans_for,
+                           autotune_spspmm_geoms)
+    from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
+                                        suggest_geometry)
+
+    geom = plan_geometry
+
+    def rows_of(op):
+        if op[0] == "X":
+            return batch[f"tupleid{op[1:]}"].shape[1]
+        return batch["edge_index"].shape[1]
+
+    for key in keys:
+        if not key:
+            continue
+        op0, op1, _, op2, _ = parsekey(key)
+        acd = batch[f"{key}{KEYSEP}acd"]
+        geoms = None
+        if geom == "autotune":
+            # per-role geometry from the calibrated cost model, picked
+            # once per key on the first batch (bucketed shapes keep
+            # later batches statistically alike)
+            gname = f"tuned{key}"
+            if gname not in geoms_cache:
+                geoms_cache[gname] = autotune_spspmm_geoms(
+                    acd, rows_of(op1), rows_of(op2), rows_of(op0),
+                    D=plan_dim)
+            geoms = geoms_cache[gname]
+        elif geom == "auto":
+            gname = f"geom{key}"
+            if gname not in geoms_cache:
+                geoms_cache[gname] = suggest_geometry(acd)
+            C, R, S = geoms_cache[gname]
+        elif isinstance(geom, str):
+            raise ValueError(
+                f"unknown plan_geometry {geom!r}: expected 'auto', "
+                f"'autotune', a (C, R, S) tuple, or None")
+        else:
+            C, R, S = geom or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
+        if geoms is not None:
+            plans = build_spspmm_plans_for(
+                acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms)
+        else:
+            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                       rows_of(op0), C, R, S)
+        # fragmentation guard: if the triples have no window locality
+        # (expander-like graphs), tiny chunks make the fused kernel
+        # slower than XLA — skip the plan and let the operator fall
+        # back (consider hodata.graph.rcm_reorder at preprocessing)
+        k_real = int(np.sum(np.asarray(acd[0]) < (1 << 30)))
+        if plans[0].n_chunks * 32 > max(k_real, 1):
+            continue
+        # stabilize chunk counts across batches
+        n = max(p.n_chunks for p in plans)
+        pad = max(bucket_size(n, 8), buckets.get(f"plan{key}", 0))
+        buckets[f"plan{key}"] = pad
+        if geoms is not None:
+            plans = build_spspmm_plans_for(
+                acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms,
+                pad_chunks_to=pad)
+        else:
+            plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
+                                       rows_of(op0), C, R, S,
+                                       pad_chunks_to=pad)
+        batch[f"{key}{KEYSEP}plan"] = plans
+
+
 class SpDataloader(_BaseLoader):
     """Sparse batches (reference Wrapper.py:101-132).  Yields collated
     numpy/device dicts; call hodata.batch_to_sparse_dict inside your jit
@@ -162,80 +240,9 @@ class SpDataloader(_BaseLoader):
                                num_graphs=self.batch_size,
                                buckets=self.buckets)
         if self.build_plans:
-            self._add_plans(batch)
+            add_spspmm_plans(batch, self.keys, self.buckets, self._geoms,
+                             self.plan_geometry, self.plan_dim)
         return batch
-
-    def _add_plans(self, batch):
-        from ..backend.indexing import bucket_size
-        from ..honn.sp_operator import KEYSEP
-        from ..hodata.sp_data import parsekey, parseop
-        from ..kernels import (build_spspmm_plans, build_spspmm_plans_for,
-                               autotune_spspmm_geoms)
-        from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
-                                            suggest_geometry)
-
-        geom = self.plan_geometry
-
-        def rows_of(op):
-            if op[0] == "X":
-                return batch[f"tupleid{op[1:]}"].shape[1]
-            return batch["edge_index"].shape[1]
-
-        for key in self.keys:
-            if not key:
-                continue
-            op0, op1, _, op2, _ = parsekey(key)
-            acd = batch[f"{key}{KEYSEP}acd"]
-            geoms = None
-            if geom == "autotune":
-                # per-role geometry from the roofline cost model, picked
-                # once per key on the first batch (bucketed shapes keep
-                # later batches statistically alike)
-                gname = f"tuned{key}"
-                if gname not in self._geoms:
-                    self._geoms[gname] = autotune_spspmm_geoms(
-                        acd, rows_of(op1), rows_of(op2), rows_of(op0),
-                        D=self.plan_dim)
-                geoms = self._geoms[gname]
-            elif geom == "auto":
-                gname = f"geom{key}"
-                if gname not in self._geoms:
-                    self._geoms[gname] = suggest_geometry(acd)
-                C, R, S = self._geoms[gname]
-            elif isinstance(geom, str):
-                raise ValueError(
-                    f"unknown plan_geometry {geom!r}: expected 'auto', "
-                    f"'autotune', a (C, R, S) tuple, or None")
-            else:
-                C, R, S = geom or (DEFAULT_C, DEFAULT_R, DEFAULT_S)
-            if geoms is not None:
-                plans = build_spspmm_plans_for(
-                    acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms)
-            else:
-                plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
-                                           rows_of(op0), C, R, S)
-            # fragmentation guard: if the triples have no window locality
-            # (expander-like graphs), tiny chunks make the fused kernel
-            # slower than XLA — skip the plan and let the operator fall
-            # back (consider hodata.graph.rcm_reorder at preprocessing)
-            import numpy as _np
-
-            k_real = int(_np.sum(_np.asarray(acd[0]) < (1 << 30)))
-            if plans[0].n_chunks * 32 > max(k_real, 1):
-                continue
-            # stabilize chunk counts across batches
-            n = max(p.n_chunks for p in plans)
-            pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
-            self.buckets[f"plan{key}"] = pad
-            if geoms is not None:
-                plans = build_spspmm_plans_for(
-                    acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms,
-                    pad_chunks_to=pad)
-            else:
-                plans = build_spspmm_plans(acd, rows_of(op1), rows_of(op2),
-                                           rows_of(op0), C, R, S,
-                                           pad_chunks_to=pad)
-            batch[f"{key}{KEYSEP}plan"] = plans
 
 
 class MaDataloader(_BaseLoader):

@@ -34,10 +34,20 @@ def collate_sharded_sparse(
     keys: Sequence[str] = ("",),
     annotate: Sequence[str] = ("",),
     buckets: Optional[Dict[str, int]] = None,
+    build_plans: bool = False,
+    plan_geometry="autotune",
+    plan_dim: int = 128,
+    geoms_cache: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, np.ndarray]:
     """Collate D independent sub-batches and stack on a leading device
     axis.  Shared ``buckets`` force identical padded shapes across the
-    shards (a requirement for stacking and for stable jit shapes)."""
+    shards (a requirement for stacking and for stable jit shapes).
+
+    ``build_plans=True`` builds per-shard fused-kernel chunk plans
+    (hodata.loader.add_spspmm_plans) so the dp train step runs the
+    Pallas spspmm path on every device; plan pytrees stack leaf-wise on
+    the device axis (shared buckets keep the static plan geometry
+    identical across shards)."""
     buckets = buckets if buckets is not None else {}
     assert len(datas) <= num_devices * per_device_graphs, (
         f"{len(datas)} graphs exceed num_devices*per_device_graphs="
@@ -70,9 +80,28 @@ def collate_sharded_sparse(
     shards = [collate_sparse(chunk, keys, annotate,
                              num_graphs=per_device_graphs, buckets=buckets)
               for chunk in chunks]
+    if build_plans:
+        from ..hodata.loader import add_spspmm_plans
+
+        gc = geoms_cache if geoms_cache is not None else {}
+        # two passes: the first settles shared geometry + chunk-count
+        # buckets, the second rebuilds every shard at the final padded
+        # chunk count so the plan pytrees stack
+        for _ in range(2):
+            for s in shards:
+                add_spspmm_plans(s, keys, buckets, gc, plan_geometry,
+                                 plan_dim)
+        # the fill guard is per-shard: drop any plan key not present on
+        # every shard (the fused path falls back to XLA for that key)
+        for k in [k for k in list(shards[0]) if k.endswith("___plan")]:
+            if not all(k in s for s in shards):
+                for s in shards:
+                    s.pop(k, None)
     out = {}
     for k in shards[0]:
-        out[k] = np.stack([s[k] for s in shards])
+        out[k] = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[s[k] for s in shards])
     return out
 
 

@@ -107,6 +107,32 @@ def test_dp_chained_matches_step_loop():
     assert worst < 1e-5, worst
 
 
+def test_dp_fused_plans_match_xla():
+    """collate_sharded_sparse(build_plans=True) routes every device's
+    contraction through the fused kernel; the dp step matches the XLA
+    dp step (d=128 so the fused route engages)."""
+    model = make_sp_model("NGNN", num_layer=1, hiddim=128,
+                          mlp={"norm": "none", "act": "relu"})
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=16)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    mesh = make_mesh((8,), ("dp",))
+    opt = make_optimizer(model, 1e-2)
+    graphdef, state = nnx.split((model, opt))
+    step = make_dp_train_step(mesh, graphdef)
+
+    buckets = {}
+    plain = collate_sharded_sparse(datas, 8, 2, keys, buckets=buckets)
+    fused = collate_sharded_sparse(datas, 8, 2, keys, buckets=buckets,
+                                   build_plans=True,
+                                   plan_geometry=(128, 256, 128))
+    assert any(k.endswith("___plan") for k in fused), list(fused)
+    _, l0 = step(state, plain)
+    _, l1 = step(state, fused)
+    assert abs(float(l0) - float(l1)) < 1e-4, (float(l0), float(l1))
+
+
 def test_dp_matches_single_device_first_step():
     """One DP step over 8 shards == one single-device step over the same
     64 graphs (grads are exact means since every shard has equal graph
