@@ -49,6 +49,10 @@ parser.add_argument("--normparam", type=float, default=0.1,
                          "for tiny transductive sets like sr25)")
 args = parser.parse_args()
 
+if args.dense and args.conv == "I2GNN":
+    parser.error("I2GNN needs 3-tuple features; the dense pipeline's "
+                 "spdsampler emits 2-tuples — drop --dense")
+
 import jax
 
 if args.cpu:

@@ -65,6 +65,10 @@ args = parser.parse_args()
 if args.conv == "NGAT" and not args.sparse:
     parser.error("NGAT is sparse-only (spspmpnn attention path); "
                  "add --sparse")
+if args.conv == "I2GNN" and not args.sparse:
+    parser.error("I2GNN needs 3-tuple features; the dense pipeline's "
+                 "spdsampler emits 2-tuples (the reference shares this "
+                 "limit, MaTupleSampler.py) — add --sparse")
 
 import os
 
