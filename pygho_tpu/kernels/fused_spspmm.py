@@ -81,6 +81,10 @@ class ChunkPlan:
     vslot: jax.Array
     udma: jax.Array        # i32[n_chunks] 1 = DMA the window for this chunk
     vdma: jax.Array
+    oslot: jax.Array       # i32[n_chunks] output VMEM slot (packed kernel)
+    owait: jax.Array       # i32[n_chunks] 1 = wait slot's prior flush first
+    owait_blk: jax.Array   # i32[n_chunks] HBM block of that prior flush
+    otail: jax.Array       # i32[2, 2] per slot: (pending?, block) at end
     C: int
     R: int
     S: int
@@ -89,6 +93,7 @@ class ChunkPlan:
     v_rows: int
     Rv: int = 0            # v window rows; 0 means "same as R" (legacy)
     slots: int = 2         # operand VMEM buffers; prefetch depth slots-1
+    G: int = 1             # chunks per grid step (packed kernel if > 1)
 
     @property
     def r_v(self) -> int:
@@ -120,9 +125,9 @@ def _slots_and_dmas(bases: np.ndarray, n_slots: int = 2):
 jax.tree_util.register_dataclass(
     ChunkPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk", "uslot", "vslot",
-                 "udma", "vdma"],
+                 "udma", "vdma", "oslot", "owait", "owait_blk", "otail"],
     meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows", "Rv",
-                 "slots"],
+                 "slots", "G"],
 )
 
 
@@ -137,6 +142,7 @@ def build_chunk_plan(
     pad_chunks_to: Optional[int] = None,
     Rv: Optional[int] = None,
     n_slots: int = 2,
+    pack: int = 1,
 ) -> ChunkPlan:
     """Greedy chunker with dynamic operand windows: walk the (3, K)
     triple array (sorted by t; PAD_INDEX rows at the end are dropped) and
@@ -241,6 +247,11 @@ def build_chunk_plan(
                             all_chunks[-1][4]) if all_chunks else (0, 0, 0))
         while len(all_chunks) < pad_chunks_to:
             all_chunks.append((0, 0, lu, lv, last_ob))
+    if pack > 1:           # pad total count to a step-multiple (zero work)
+        lu, lv, last_ob = ((all_chunks[-1][2], all_chunks[-1][3],
+                            all_chunks[-1][4]) if all_chunks else (0, 0, 0))
+        while len(all_chunks) % pack:
+            all_chunks.append((0, 0, lu, lv, last_ob))
 
     n = len(all_chunks)
     ca = np.asarray(all_chunks, dtype=np.int64).reshape(n, 5)
@@ -262,15 +273,48 @@ def build_chunk_plan(
         tuv_local[cid, 0, pos] = (t[row] - ca[cid, 4] * S).astype(np.int32)
         tuv_local[cid, 1, pos] = (u[row] - ca[cid, 2]).astype(np.int32)
         tuv_local[cid, 2, pos] = (v[row] - ca[cid, 3]).astype(np.int32)
+    if pack > 1:
+        # the packed kernel keeps up to 2*pack chunks' windows in flight
+        # (current step's compute + next step's prefetch)
+        n_slots = max(n_slots, 2 * pack + 1)
     uslot, udma = _slots_and_dmas(ubase, n_slots)
     vslot, vdma = _slots_and_dmas(vbase, n_slots)
+    # Output-slot bookkeeping for the packed kernel: slots alternate at
+    # block transitions.  At a transition the kernel (a) waits the flush
+    # previously issued FROM the slot it is about to start filling
+    # (owait/owait_blk), then (b) issues the flush of the block just
+    # finished from the other slot.  `otail` records, per slot, any
+    # flush still in flight when the grid ends (plus the slot of the
+    # final explicit flush) so the last step can drain everything.
+    oslot, ofirst = _slots_and_dmas(oblk, 2)
+    nck = len(oblk)
+    owait = np.zeros(nck, np.int32)
+    owait_blk = np.zeros(nck, np.int32)
+    pending: dict = {0: None, 1: None}
+    for ci in range(1, nck):
+        if ofirst[ci]:
+            s = int(oslot[ci])
+            if pending[s] is not None:
+                owait[ci] = 1
+                owait_blk[ci] = pending[s]
+                pending[s] = None
+            pending[1 - s] = int(oblk[ci - 1])
+    otail = np.zeros((2, 2), np.int32)
+    if nck:
+        last_slot = int(oslot[-1])
+        if pending[last_slot] is not None:   # drained before final flush
+            otail[last_slot] = (1, pending[last_slot])
+            pending[last_slot] = None
+        if pending[1 - last_slot] is not None:
+            otail[1 - last_slot] = (1, pending[1 - last_slot])
     # keep numpy: device transfer happens in one bulk device_put with the
     # rest of the batch (per-array transfers are RTT-bound on remote TPUs)
     return ChunkPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         uslot=uslot, vslot=vslot, udma=udma, vdma=vdma,
+        oslot=oslot, owait=owait, owait_blk=owait_blk, otail=otail,
         C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows,
-        Rv=Rv, slots=n_slots)
+        Rv=Rv, slots=n_slots, G=pack)
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +330,39 @@ def _split3(x):
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
+
+
+def _chunk_math(t_loc, u_loc, v_loc, uw, vw, C, R, S, Rv, exact):
+    """One chunk's gather-multiply-scatter as one-hot MXU contractions:
+    returns the (S, D) f32 partial for this chunk's output block."""
+    import jax.lax as lax
+
+    iota_R = lax.broadcasted_iota(jnp.int32, (C, R), 1)
+    onehot_u = jnp.where(u_loc[:, None] == iota_R,
+                         1.0, 0.0).astype(jnp.bfloat16)
+    iota_Rv = lax.broadcasted_iota(jnp.int32, (C, Rv), 1)
+    onehot_v = jnp.where(v_loc[:, None] == iota_Rv,
+                         1.0, 0.0).astype(jnp.bfloat16)
+
+    def gathered(onehot, w):
+        if exact:
+            return sum(jnp.dot(onehot, part,
+                               preferred_element_type=jnp.float32)
+                       for part in _split3(w))
+        return jnp.dot(onehot, w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    prod = gathered(onehot_u, uw) * gathered(onehot_v, vw)  # (C, D) f32
+
+    iota_S = lax.broadcasted_iota(jnp.int32, (S, C), 0)
+    onehot_t = jnp.where(t_loc[None, :] == iota_S,
+                         1.0, 0.0).astype(jnp.bfloat16)
+    if exact:
+        return sum(jnp.dot(onehot_t, part,
+                           preferred_element_type=jnp.float32)
+                   for part in _split3(prod))
+    return jnp.dot(onehot_t, prod.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
 
 
 def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
@@ -350,40 +427,9 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
         @pl.when(vdma_ref[i] == 1)
         def _():
             v_copy(i).wait()
-        t_loc = tuv_ref[0, 0, :]
-        u_loc = tuv_ref[0, 1, :]
-        v_loc = tuv_ref[0, 2, :]
-
-        iota_R = lax.broadcasted_iota(jnp.int32, (C, R), 1)
-        onehot_u = jnp.where(u_loc[:, None] == iota_R,
-                             1.0, 0.0).astype(jnp.bfloat16)
-        iota_Rv = lax.broadcasted_iota(jnp.int32, (C, Rv), 1)
-        onehot_v = jnp.where(v_loc[:, None] == iota_Rv,
-                             1.0, 0.0).astype(jnp.bfloat16)
-
-        uw = ubuf[uslot_ref[i]]
-        vw = vbuf[vslot_ref[i]]
-
-        def gathered(onehot, w):
-            if exact:
-                return sum(jnp.dot(onehot, part,
-                                   preferred_element_type=jnp.float32)
-                           for part in _split3(w))
-            return jnp.dot(onehot, w.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-
-        prod = gathered(onehot_u, uw) * gathered(onehot_v, vw)  # (C, D) f32
-
-        iota_S = lax.broadcasted_iota(jnp.int32, (S, C), 0)
-        onehot_t = jnp.where(t_loc[None, :] == iota_S,
-                             1.0, 0.0).astype(jnp.bfloat16)
-        if exact:
-            acc = sum(jnp.dot(onehot_t, part,
-                              preferred_element_type=jnp.float32)
-                      for part in _split3(prod))
-        else:
-            acc = jnp.dot(onehot_t, prod.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        acc = _chunk_math(tuv_ref[0, 0, :], tuv_ref[0, 1, :],
+                          tuv_ref[0, 2, :], ubuf[uslot_ref[i]],
+                          vbuf[vslot_ref[i]], C, R, S, Rv, exact)
 
         first = jnp.logical_or(
             i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
@@ -395,6 +441,129 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
         @pl.when(jnp.logical_not(first))
         def _():
             o_ref[:] = o_ref[:] + acc
+
+    return kernel
+
+
+def _fused_kernel_packed(C: int, R: int, S: int, exact: bool, Rv: int,
+                         G: int):
+    """G chunks per grid step, amortizing the per-step fixed cost that
+    dominates at molecule-scale chunk counts (see BENCHMARKS calibration).
+    Steps may span output-block boundaries, so the output block lives in
+    a double-buffered VMEM scratch and is flushed to HBM with manual
+    async copies at block transitions (bookkept host-side:
+    oslot/owait/owait_blk/otail in build_chunk_plan)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ubase_ref, vbase_ref, oblk_ref, uslot_ref, vslot_ref,
+               udma_ref, vdma_ref, oslot_ref, owait_ref, owblk_ref,
+               otail_ref, tuv_ref, u_hbm, v_hbm,
+               o_hbm, ubuf, vbuf, sems, obuf, osems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        nc = n * G
+
+        def u_copy(chunk):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(ubase_ref[chunk], R)],
+                ubuf.at[uslot_ref[chunk]], sems.at[uslot_ref[chunk], 0])
+
+        def v_copy(chunk):
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(vbase_ref[chunk], Rv)],
+                vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
+
+        def flush(slot, blk):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[pl.ds(blk * S, S)], osems.at[slot])
+
+        # warm-up: step 0's own windows
+        @pl.when(i == 0)
+        def _():
+            u_copy(0).start()
+            v_copy(0).start()
+            for k in range(1, G):
+                kc = jnp.minimum(k, nc - 1)
+
+                @pl.when(jnp.logical_and(k < nc, udma_ref[kc] == 1))
+                def _():
+                    u_copy(kc).start()
+
+                @pl.when(jnp.logical_and(k < nc, vdma_ref[kc] == 1))
+                def _():
+                    v_copy(kc).start()
+
+        # prefetch the NEXT step's windows before computing this one
+        for k in range(G):
+            pf = jnp.minimum((i + 1) * G + k, nc - 1)
+
+            @pl.when(jnp.logical_and((i + 1) * G + k < nc,
+                                     udma_ref[pf] == 1))
+            def _():
+                u_copy(pf).start()
+
+            @pl.when(jnp.logical_and((i + 1) * G + k < nc,
+                                     vdma_ref[pf] == 1))
+            def _():
+                v_copy(pf).start()
+
+        for k in range(G):
+            c = i * G + k
+
+            @pl.when(udma_ref[c] == 1)
+            def _():
+                u_copy(c).wait()
+
+            @pl.when(vdma_ref[c] == 1)
+            def _():
+                v_copy(c).wait()
+
+            acc = _chunk_math(tuv_ref[k, 0, :], tuv_ref[k, 1, :],
+                              tuv_ref[k, 2, :], ubuf[uslot_ref[c]],
+                              vbuf[vslot_ref[c]], C, R, S, Rv, exact)
+            cp = jnp.maximum(c - 1, 0)
+            first = jnp.logical_or(c == 0, oblk_ref[c] != oblk_ref[cp])
+            slot = oslot_ref[c]
+
+            @pl.when(jnp.logical_and(first, c > 0))
+            def _():
+                # drain the flush previously issued FROM this slot, then
+                # hand the just-finished block (other slot) to HBM
+                @pl.when(owait_ref[c] == 1)
+                def _():
+                    flush(slot, owblk_ref[c]).wait()
+
+                flush(1 - slot, oblk_ref[cp]).start()
+
+            # static-unrolled store (dynamic-index VMEM writes are shaky
+            # on this Mosaic toolchain)
+            for s_ in range(2):
+                @pl.when(jnp.logical_and(first, slot == s_))
+                def _():
+                    obuf[s_] = acc
+
+                @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                         slot == s_))
+                def _():
+                    obuf[s_] = obuf[s_] + acc
+
+        # final step: drain everything
+        @pl.when(i == n - 1)
+        def _():
+            last = nc - 1
+            sl = oslot_ref[last]
+
+            @pl.when(otail_ref[sl, 0] == 1)
+            def _():
+                flush(sl, otail_ref[sl, 1]).wait()
+
+            flush(sl, oblk_ref[last]).start()
+            flush(sl, oblk_ref[last]).wait()
+
+            @pl.when(otail_ref[1 - sl, 0] == 1)
+            def _():
+                flush(1 - sl, otail_ref[1 - sl, 1]).wait()
 
     return kernel
 
@@ -425,6 +594,45 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
     n_chunks = plan.n_chunks
 
     n_slots = plan.slots
+    passes = 3 if exact else 1
+    flops = 2 * n_chunks * passes * (C * R * D + C * Rv * D + S * C * D)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=n_chunks * (R + Rv + S) * D * 4,
+        transcendentals=0)
+    if plan.G > 1:
+        # packed: G chunks per grid step, manually-flushed output blocks
+        G = plan.G
+        assert n_chunks % G == 0, (n_chunks, G)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
+            grid=(n_chunks // G,),
+            in_specs=[
+                pl.BlockSpec((G, 3, C),
+                             lambda i, *refs: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, R, D), U.dtype),
+                pltpu.VMEM((n_slots, Rv, D), V.dtype),
+                pltpu.SemaphoreType.DMA((n_slots, 2)),
+                pltpu.VMEM((2, S, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            _fused_kernel_packed(C, R, S, exact, Rv, G),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((plan.out_rows, D),
+                                           jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
+          plan.udma, plan.vdma, plan.oslot, plan.owait, plan.owait_blk,
+          plan.otail, plan.tuv_local, U, V)
+        return out
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_chunks,),
@@ -442,16 +650,11 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
             pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )
-    passes = 3 if exact else 1
-    flops = 2 * n_chunks * passes * (C * R * D + C * Rv * D + S * C * D)
     out = pl.pallas_call(
         _fused_kernel(C, R, S, exact, Rv, depth=n_slots - 1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=n_chunks * (R + Rv + S) * D * 4,
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret,
     )(plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
       plan.udma, plan.vdma, plan.tuv_local, U, V)

@@ -470,3 +470,27 @@ def test_fused_deeper_prefetch_matches_default(rng):
     g4 = jax.grad(loss, (0, 1))(X.values, A.values, p4)
     assert maxdiff(g2[0], g4[0]) < 1e-6
     assert maxdiff(g2[1], g4[1]) < 1e-6
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_packed_kernel_matches_default(rng, G):
+    """The packed kernel (G chunks per grid step, manually-flushed
+    output blocks) produces identical results to the default kernel.
+    Measured neutral on v5e (per-chunk cost is not grid-step overhead;
+    see BENCHMARKS.md) — kept as a verified variant for toolchains
+    where step overhead dominates."""
+    n_out, n_u, n_v, D = 1024, 512, 256, 128
+    K = 4096
+    t = np.sort(rng.integers(0, n_out, K))
+    u = rng.integers(0, n_u, K)
+    v = rng.integers(0, n_v, K)
+    tuv = np.stack([t, u, v]).astype(np.int64)
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+    p1 = build_chunk_plan(tuv, n_u, n_v, n_out, C=128, R=192, S=256,
+                          Rv=96)
+    pG = build_chunk_plan(tuv, n_u, n_v, n_out, C=128, R=192, S=256,
+                          Rv=96, pack=G)
+    o1 = fused_contract(U, V, p1, exact=True)
+    oG = fused_contract(U, V, pG, exact=True)
+    assert maxdiff(o1, oG) < 1e-6
