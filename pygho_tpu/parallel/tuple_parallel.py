@@ -684,10 +684,12 @@ class ReduceScatterShardPlan:
     reduce_scatter sums the partials while handing every device exactly
     its own B-row band — half a psum's wire traffic and no host-planned
     boundary sets at all.  This is the dense-exchange endpoint of the
-    strategy family: it moves ~P*B rows/device regardless of structure,
-    so it wins precisely when the graph is so entangled that boundary
-    pools (v3) and pre-reduced bands (v4) approach full blocks anyway
-    (``plan_exchange_volumes`` compares all three)."""
+    strategy family: it moves ~P*B rows/device regardless of structure.
+    By raw row count it can only tie the boundary-pool gather (Bnd <= B
+    always), so the chooser prefers it exactly at that tie — a graph so
+    entangled that pools approach full blocks — where one fused
+    psum_scatter beats gathering P irregular pools and indexing into
+    them (``plan_exchange_volumes`` compares all three)."""
 
     acd_loc: jax.Array    # i32[P, Kp, 3] (a_global, c_local, d)
     P: int
@@ -806,9 +808,14 @@ def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
         "reduce_scatter": (build_reduce_scatter_shard_plan,
                            make_reduce_scatter_spspmm),
     }
-    fitting = [(vols[k], k) for k in builders if vols[k] <= cap]
+    # tie-break: reduce_scatter (one fused collective, no boundary
+    # planning) > overlapped > scatter.  reduce_scatter can only tie the
+    # pool gather on row count (Bnd <= B), so the rank is what selects
+    # it on fully-entangled graphs.
+    rank = {"reduce_scatter": 0, "overlapped": 1, "scatter": 2}
+    fitting = [(vols[k], rank[k], k) for k in builders if vols[k] <= cap]
     if fitting:
-        _, name = min(fitting)
+        _, _, name = min(fitting)
         build, make = builders[name]
         plan = build(acd, nnz_pad, P)
         return make(mesh, plan, axis), name, vols

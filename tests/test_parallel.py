@@ -284,6 +284,36 @@ def test_reduce_scatter_tuple_parallel_matches_spspmm(rng):
     assert vols["reduce_scatter"] == X.nnz_pad
 
 
+def test_chooser_prefers_reduce_scatter_on_full_boundaries(rng):
+    """With triples whose input rows scatter uniformly across blocks,
+    every block's rows are read everywhere (Bnd == B): the pool gather
+    can only TIE reduce_scatter's row count, and the chooser's
+    tie-break picks the fused psum_scatter."""
+    from pygho_tpu.parallel.tuple_parallel import (
+        choose_partitioned_spspmm, plan_exchange_volumes)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, _, indX, _ = random_sparse(rng, (n, n), 0.9, (d,), nnz_pad=256)
+    A, _, indA, _ = random_sparse(rng, (n, n), 0.9, (d,), nnz_pad=256)
+    # synthetic fully-entangled triples: sorted targets, uniform sources
+    K = 8192
+    t = np.sort(rng.integers(0, X.nnz_pad, K))
+    c = rng.integers(0, X.nnz_pad, K)
+    dd = rng.integers(0, A.nnz_pad, K)
+    acd_p = np.stack([t, c, dd]).astype(np.int64)
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    vols = plan_exchange_volumes(acd_p, X.nnz_pad, 8)
+    assert vols["overlapped"] == vols["reduce_scatter"] == X.nnz_pad
+    fn, which, _ = choose_partitioned_spspmm(mesh, acd_p, X.nnz_pad, "sp")
+    if vols["scatter"] >= X.nnz_pad:
+        assert which == "reduce_scatter", (which, vols)
+    got = fn(X.values, A.values)
+    assert maxdiff(got[:X.nnz_pad], ref.values) < 1e-4
+
+
 def test_giant_graph_training(rng):
     """End-to-end sp-sharded NGNN training on one giant graph matches a
     single-device implementation of the same model."""
