@@ -286,27 +286,32 @@ def build_chunk_plan(
     # finished from the other slot.  `otail` records, per slot, any
     # flush still in flight when the grid ends (plus the slot of the
     # final explicit flush) so the last step can drain everything.
-    oslot, ofirst = _slots_and_dmas(oblk, 2)
+    # Only the packed kernel reads these — skip the Python walk on the
+    # (hot) default path and ship zeros with the same pytree shapes.
     nck = len(oblk)
     owait = np.zeros(nck, np.int32)
     owait_blk = np.zeros(nck, np.int32)
-    pending: dict = {0: None, 1: None}
-    for ci in range(1, nck):
-        if ofirst[ci]:
-            s = int(oslot[ci])
-            if pending[s] is not None:
-                owait[ci] = 1
-                owait_blk[ci] = pending[s]
-                pending[s] = None
-            pending[1 - s] = int(oblk[ci - 1])
     otail = np.zeros((2, 2), np.int32)
-    if nck:
-        last_slot = int(oslot[-1])
-        if pending[last_slot] is not None:   # drained before final flush
-            otail[last_slot] = (1, pending[last_slot])
-            pending[last_slot] = None
-        if pending[1 - last_slot] is not None:
-            otail[1 - last_slot] = (1, pending[1 - last_slot])
+    if pack > 1:
+        oslot, ofirst = _slots_and_dmas(oblk, 2)
+        pending: dict = {0: None, 1: None}
+        for ci in range(1, nck):
+            if ofirst[ci]:
+                s = int(oslot[ci])
+                if pending[s] is not None:
+                    owait[ci] = 1
+                    owait_blk[ci] = pending[s]
+                    pending[s] = None
+                pending[1 - s] = int(oblk[ci - 1])
+        if nck:
+            last_slot = int(oslot[-1])
+            if pending[last_slot] is not None:   # drained pre final flush
+                otail[last_slot] = (1, pending[last_slot])
+                pending[last_slot] = None
+            if pending[1 - last_slot] is not None:
+                otail[1 - last_slot] = (1, pending[1 - last_slot])
+    else:
+        oslot = np.zeros(nck, np.int32)
     # keep numpy: device transfer happens in one bulk device_put with the
     # rest of the batch (per-array transfers are RTT-bound on remote TPUs)
     return ChunkPlan(
@@ -367,7 +372,6 @@ def _chunk_math(t_loc, u_loc, v_loc, uw, vw, C, R, S, Rv, exact):
 
 def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
                   depth: int = 1):
-    import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -868,7 +872,11 @@ def estimate_plan_cost(plan: ChunkPlan, D: int, exact: bool = True,
               + np.asarray(plan.vdma).astype(np.float64) * Rv)
              * (D * itemsize / _HBM_BW))
     total = float(np.sum(np.maximum(t_dma, t_comp)))
-    total += plan.n_chunks * _CHUNK_FIXED
+    # fixed cost is per grid STEP; the packed kernel (G chunks/step)
+    # amortizes it (measured neutral on v5e, where the cost turned out
+    # per-chunk-intrinsic — keep the division so the model reflects the
+    # packed kernel's design intent on toolchains where it does help)
+    total += (plan.n_chunks / max(plan.G, 1)) * _CHUNK_FIXED
     total += plan.out_rows * D * itemsize / _HBM_BW          # block spills
     total += plan.n_chunks * (3 * C + 8) * 4 / _HBM_BW       # triple stream
     return total

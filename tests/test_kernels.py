@@ -478,7 +478,13 @@ def test_packed_kernel_matches_default(rng, G):
     output blocks) produces identical results to the default kernel.
     Measured neutral on v5e (per-chunk cost is not grid-step overhead;
     see BENCHMARKS.md) — kept as a verified variant for toolchains
-    where step overhead dominates."""
+    where step overhead dominates.
+
+    NOTE: interpret mode executes async copies synchronously, so the
+    flush/wait ORDERING protocol (owait, otail drain, slot reuse) is
+    only proven on hardware — it was verified on a real v5e for
+    G=1/2/4/8 (exact match vs the default kernel, 2026-08-18 probe);
+    re-verify on hardware when touching the DMA protocol."""
     n_out, n_u, n_v, D = 1024, 512, 256, 128
     K = 4096
     t = np.sort(rng.integers(0, n_out, K))
