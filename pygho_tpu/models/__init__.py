@@ -5,9 +5,13 @@ from .zinc import (InputEncoderSp, InputEncoderMa, InputEncoderI2,
                    SpModel, MaModel, make_sp_model, make_ma_model,
                    make_model_from_config)
 from . import training
+from .serve import (SpPredictor, MaPredictor, export_forward,
+                    load_exported, ExportedForward)
 
 __all__ = [
     "InputEncoderSp", "InputEncoderMa", "InputEncoderI2",
     "SpModel", "MaModel", "make_sp_model", "make_ma_model",
     "make_model_from_config", "training",
+    "SpPredictor", "MaPredictor", "export_forward", "load_exported",
+    "ExportedForward",
 ]

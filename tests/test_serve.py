@@ -1,0 +1,106 @@
+"""Serving-path tests: Predictor order/parity and jax.export round-trip.
+
+Net-new surface (the reference has no serving story, SURVEY.md §2.5);
+oracle = the jitted eval forward called directly on the same batches.
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from pygho_tpu.hodata import Sppretransform, Mapretransform, SpDataloader
+from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+from pygho_tpu.hodata.sp_sampler import KhopSampler
+from pygho_tpu.hodata.ma_sampler import spdsampler
+from pygho_tpu.hodata.datasets import synthetic_zinc
+from pygho_tpu.honn import parse_precomputekey
+from pygho_tpu.models import (make_sp_model, make_ma_model, SpPredictor,
+                              MaPredictor, export_forward, ExportedForward)
+
+MLPD = {"norm": "bn", "act": "silu", "dp": 0.0}
+
+
+def test_sp_predictor_matches_direct_forward():
+    model = make_sp_model("NGNN", num_layer=2, hiddim=16, mlp=dict(MLPD))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("val", n_graphs=20)
+    predictor = SpPredictor(model, KhopSampler, keys, batch_size=8)
+    preds = predictor(graphs)
+    assert preds.shape[0] == len(graphs)
+    assert np.isfinite(preds).all()
+
+    # oracle: run the same batches through the model directly, in order
+    model.eval()
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    dl = SpDataloader(datas, 8, keys, shuffle=False, drop_last=False,
+                      device_put=False, prefetch=0)
+    dl.buckets = predictor._buckets
+
+    @nnx.jit
+    def fwd(model, batch):
+        return model(batch_to_sparse_dict(batch, ("",)))
+
+    direct = []
+    for batch in dl:
+        out = np.asarray(fwd(model, batch))
+        direct.append(out[: int(np.asarray(batch["graph_mask"]).sum())])
+    direct = np.concatenate(direct, 0)
+    assert np.abs(preds - direct).max() < 1e-5
+
+    # second call reuses buckets and stays order-consistent
+    again = predictor(graphs[:5])
+    assert np.abs(again - preds[:5]).max() < 1e-5
+
+
+def test_ma_predictor_runs_and_is_ordered():
+    model = make_ma_model("NGNN", num_layer=2, hiddim=16, mlp=dict(MLPD))
+    graphs = synthetic_zinc("val", n_graphs=12)
+    predictor = MaPredictor(model, spdsampler, batch_size=4)
+    preds = predictor(graphs)
+    assert preds.shape[0] == len(graphs)
+    assert np.isfinite(preds).all()
+    # permuting the input permutes the output identically
+    perm = np.random.default_rng(0).permutation(len(graphs))
+    preds2 = predictor([graphs[i] for i in perm])
+    assert np.abs(preds2 - preds[perm]).max() < 1e-5
+
+
+def test_export_forward_roundtrip(tmp_path):
+    model = make_sp_model("NGNN", num_layer=2, hiddim=16, mlp=dict(MLPD))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("val", n_graphs=8)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    dl = SpDataloader(datas, 8, keys, shuffle=False, drop_last=False,
+                      device_put=False, prefetch=0)
+    batch = next(iter(dl))
+
+    path = str(tmp_path / "ngnn_fwd.stablehlo")
+    export_forward(model, batch, path)
+
+    model.eval()
+
+    @nnx.jit
+    def fwd(model, b):
+        return model(batch_to_sparse_dict(b, ("",)))
+
+    want = np.asarray(fwd(model, batch))
+
+    import pygho_tpu.models.serve as serve
+    loaded = serve.load_exported(path)
+    got = loaded(batch)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5
+
+    # a second batch with the same bucket signature runs through the
+    # same artifact
+    graphs2 = synthetic_zinc("test", n_graphs=8)
+    datas2 = [pre(g) for g in graphs2]
+    dl2 = SpDataloader(datas2, 8, keys, shuffle=False, drop_last=False,
+                       device_put=False, prefetch=0)
+    dl2.buckets = dl.buckets
+    batch2 = next(iter(dl2))
+    got2 = loaded(batch2)
+    want2 = np.asarray(fwd(model, batch2))
+    assert np.abs(got2 - want2).max() < 1e-4
