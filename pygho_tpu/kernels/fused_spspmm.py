@@ -130,6 +130,22 @@ jax.tree_util.register_dataclass(
                  "slots", "G"],
 )
 
+try:
+    # allow jax.export to serialize batches carrying fused-kernel plans
+    # (models.serve.export_forward with build_plans=True)
+    import json as _json
+
+    from jax import export as _jexport
+
+    _jexport.register_pytree_node_serialization(
+        ChunkPlan,
+        serialized_name="pygho_tpu.kernels.ChunkPlan",
+        serialize_auxdata=lambda aux: _json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda b: tuple(_json.loads(bytes(b).decode())),
+    )
+except Exception:  # pragma: no cover - jax without the export API
+    pass
+
 
 def build_chunk_plan(
     tuv: np.ndarray,

@@ -187,7 +187,9 @@ class ExportedForward:
             else bytes(blob))
 
     def __call__(self, batch: Dict[str, Any]) -> np.ndarray:
-        arrays = {k: np.asarray(v) for k, v in batch.items()}
+        import jax
+
+        arrays = jax.tree.map(np.asarray, dict(batch))
         return np.asarray(self._exported.call(arrays))
 
 

@@ -104,3 +104,29 @@ def test_export_forward_roundtrip(tmp_path):
     got2 = loaded(batch2)
     want2 = np.asarray(fwd(model, batch2))
     assert np.abs(got2 - want2).max() < 1e-4
+
+
+def test_export_with_fused_plans():
+    """Batches carrying ChunkPlan pytrees serialize through jax.export
+    (the registered ChunkPlan codec); interpret-mode kernel on CPU."""
+    model = make_sp_model("NGNN", num_layer=2, hiddim=128, mlp=dict(MLPD))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("val", n_graphs=8)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    dl = SpDataloader(datas, 8, keys, shuffle=False, drop_last=False,
+                      device_put=False, prefetch=0, build_plans=True,
+                      plan_dim=128)
+    batch = next(iter(dl))
+    assert any(k.endswith("___plan") for k in batch), list(batch)
+
+    blob = export_forward(model, batch)
+    model.eval()
+
+    @nnx.jit
+    def fwd(model, b):
+        return model(batch_to_sparse_dict(b, ("",)))
+
+    want = np.asarray(fwd(model, batch))
+    got = ExportedForward(blob)(batch)
+    assert np.abs(got - want).max() < 1e-4
