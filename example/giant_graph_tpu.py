@@ -20,6 +20,8 @@ sys.path.insert(0, ".")
 parser = argparse.ArgumentParser()
 parser.add_argument("--devices", type=int, default=8)
 parser.add_argument("--cpu", action="store_true", default=True)
+parser.add_argument("--tpu", dest="cpu", action="store_false",
+                    help="run on the real TPU (single chip: --devices 1)")
 parser.add_argument("--communities", type=int, default=100)
 parser.add_argument("--csize", type=int, default=30)
 parser.add_argument("--hiddim", type=int, default=32)
@@ -27,11 +29,18 @@ parser.add_argument("--num_layer", type=int, default=3)
 parser.add_argument("--steps", type=int, default=30)
 parser.add_argument("--lr", type=float, default=1e-4)
 parser.add_argument("--strategy",
-                    choices=["overlapped", "ring", "reduce_scatter"],
+                    choices=["overlapped", "ring", "reduce_scatter",
+                             "overlapped_fused"],
                     default="overlapped",
                     help="boundary exchange: all_gather pools / ppermute "
                          "ring (O(Bnd) peak memory) / psum_scatter over "
-                         "ownership bands (structure-free)")
+                         "ownership bands (structure-free) / all_gather "
+                         "pools with both contractions on the fused "
+                         "Pallas kernel (hiddim must be a multiple of "
+                         "128 on real TPU)")
+parser.add_argument("--fast", action="store_true",
+                    help="bf16 fast math in the fused kernel "
+                         "(overlapped_fused only)")
 args = parser.parse_args()
 
 import os
@@ -53,6 +62,11 @@ from pygho_tpu.backend import indexing
 from pygho_tpu.hodata.graph import Graph, rcm_reorder
 from pygho_tpu.parallel import (make_mesh, build_giant_graph_plan,
                                 init_giant_params, make_giant_graph_step)
+
+if args.fast:
+    from pygho_tpu.kernels.fused_spspmm import set_fused_math
+
+    set_fused_math(False)
 
 # 1. a large community-structured graph
 rng = np.random.default_rng(0)
@@ -88,10 +102,13 @@ tid = indexing.pad_indices(tup, nnz_pad)
 acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
 mesh = make_mesh((P,), ("sp",))
 plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, P,
-                              strategy=args.strategy)
-if hasattr(plan.contraction, "Bnd"):
+                              strategy=args.strategy,
+                              n_edge_rows=g.num_edges,
+                              plan_dim=args.hiddim)
+_c = getattr(plan.contraction, "base", plan.contraction)
+if hasattr(_c, "Bnd"):
     print(f"plan ({args.strategy}): {plan.B} tuple rows/device, "
-          f"boundary pool {plan.contraction.Bnd} rows/device")
+          f"boundary pool {_c.Bnd} rows/device")
 else:
     print(f"plan ({args.strategy}): {plan.B} tuple rows/device, "
           f"exchange {P * plan.B} full-range partial rows/device "
@@ -109,9 +126,16 @@ y = jnp.asarray((deg / deg.max()).astype(np.float32))  # predict degree
 loss_fn, step = make_giant_graph_step(mesh, plan, args.num_layer,
                                       lr=args.lr)
 t0 = time.time()
-for i in range(args.steps):
+params, loss = step(params, Xv, Av, y)
+print(f"step 0: loss {float(loss):.5f} "
+      f"(compile+run {time.time() - t0:.1f}s)", flush=True)
+t1 = time.time()
+for i in range(1, args.steps):
     params, loss = step(params, Xv, Av, y)
     if i % 5 == 0 or i == args.steps - 1:
         print(f"step {i}: loss {float(loss):.5f}", flush=True)
-print(f"{args.steps} steps in {time.time() - t0:.1f}s on a "
+float(loss)  # materialize before timing (tunnel acks early)
+steady = (time.time() - t1) / max(args.steps - 1, 1)
+print(f"{args.steps} steps in {time.time() - t0:.1f}s "
+      f"({steady * 1e3:.1f} ms/step steady) on a "
       f"{P}-device '{jax.devices()[0].platform}' mesh")

@@ -27,6 +27,8 @@ from .tuple_parallel import (spspmm_tuple_parallel,
                              build_ring_shard_plan, make_ring_spspmm,
                              build_reduce_scatter_shard_plan,
                              make_reduce_scatter_spspmm,
+                             build_fused_overlapped_shard_plan,
+                             make_fused_overlapped_spspmm,
                              plan_exchange_volumes,
                              choose_partitioned_spspmm)
 from .giant import (build_giant_graph_plan, init_giant_params,
@@ -45,6 +47,7 @@ __all__ = [
     "make_overlapped_spspmm", "build_scatter_shard_plan",
     "make_scatter_spspmm", "build_ring_shard_plan", "make_ring_spspmm",
     "build_reduce_scatter_shard_plan", "make_reduce_scatter_spspmm",
+    "build_fused_overlapped_shard_plan", "make_fused_overlapped_spspmm",
     "plan_exchange_volumes",
     "choose_partitioned_spspmm",
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",

@@ -37,6 +37,9 @@ from .tuple_parallel import (OverlappedShardPlan, _overlapped_contract,
                              build_ring_shard_plan,
                              ReduceScatterShardPlan,
                              build_reduce_scatter_shard_plan,
+                             FusedOverlappedShardPlan,
+                             _fused_overlapped_contract,
+                             build_fused_overlapped_shard_plan,
                              _pool_contract)
 
 
@@ -66,13 +69,23 @@ jax.tree_util.register_dataclass(
 def build_giant_graph_plan(acd: np.ndarray, tupleid: np.ndarray,
                            nnz_pad: int, n_nodes: int,
                            P: int,
-                           strategy: str = "overlapped") -> GiantGraphPlan:
+                           strategy: str = "overlapped",
+                           n_edge_rows: Optional[int] = None,
+                           plan_dim: int = 128) -> GiantGraphPlan:
     if strategy == "ring":
         contraction = build_ring_shard_plan(acd, nnz_pad, P)
     elif strategy == "overlapped":
         contraction = build_overlapped_shard_plan(acd, nnz_pad, P)
     elif strategy == "reduce_scatter":
         contraction = build_reduce_scatter_shard_plan(acd, nnz_pad, P)
+    elif strategy == "overlapped_fused":
+        # v3 partition, both contractions on the fused Pallas kernel
+        # (3.1x XLA at giant-graph scale, BENCHMARKS.md); needs the
+        # padded edge-value row count to size the kernel's V operand
+        assert n_edge_rows is not None, (
+            "overlapped_fused needs n_edge_rows (padded Av row count)")
+        contraction = build_fused_overlapped_shard_plan(
+            acd, nnz_pad, P, n_edge_rows, D=plan_dim)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     B = nnz_pad // P
@@ -116,13 +129,23 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     c = plan.contraction
     is_ring = isinstance(c, RingShardPlan)
     is_rs = isinstance(c, ReduceScatterShardPlan)
+    is_fov = isinstance(c, FusedOverlappedShardPlan)
+    dummy_tri = jnp.zeros((plan.P, 1, 3), jnp.int32)
+    dummy_plan = jnp.zeros((plan.P, 1), jnp.int32)
     if is_rs:
         # no boundary sets: pass zero-size dummies through the plumbing
-        aux = jnp.zeros((plan.P, 1, 3), jnp.int32)
+        aux = dummy_tri
         send = jnp.zeros((plan.P, 1), jnp.int32)
+    elif is_fov:
+        # triples live inside the fused chunk plans
+        aux = dummy_tri
+        send = c.base.send_idx
     else:
         aux = c.acd_ring if is_ring else c.acd_bnd
         send = c.send_idx
+    loc_tri = dummy_tri if is_fov else c.acd_loc
+    lp_in = c.loc_plans if is_fov else dummy_plan
+    bp_in = c.bnd_plans if is_fov else dummy_plan
 
     def _rs_contract(h, Av, loc):
         # full-range partial (shared gather/segment body) + psum_scatter
@@ -131,15 +154,22 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
             partial.reshape((plan.P, plan.B) + partial.shape[1:]),
             axis, scatter_dimension=0, tiled=False)
 
-    def device_forward(params, Xblk, Av, loc, bnd, send_l, roots):
+    def device_forward(params, Xblk, Av, loc, bnd, send_l, roots, lp, bp):
         Xb = Xblk[0]                                    # (B, D)
+        if is_fov:
+            lp = jax.tree.map(lambda x: x[0], lp)
+            bp = jax.tree.map(lambda x: x[0], bp)
         for lay in params["layers"]:
             h = jax.nn.relu(Xb @ lay["w"] + lay["b"])   # local MLP rows
             # contraction of the POST-MLP values: overlapped starts the
             # boundary all_gather and reduces local triples under it;
             # ring rotates boundary pools with ppermute per step;
-            # reduce_scatter sums full-range partials into own bands
-            if is_rs:
+            # reduce_scatter sums full-range partials into own bands;
+            # overlapped_fused runs both triple sets on the Pallas kernel
+            if is_fov:
+                out = _fused_overlapped_contract(h, Av, send_l[0], lp, bp,
+                                                 plan.B, axis)
+            elif is_rs:
                 out = _rs_contract(h, Av, loc[0])
             elif is_ring:
                 out = _ring_contract(h, Av, loc[0], bnd[0], send_l[0],
@@ -155,35 +185,34 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
         pred = node_h @ params["out"]["w"] + params["out"]["b"]
         return pred[:, 0]
 
-    def device_loss(params, Xblk, Av, loc, bnd, send_l, roots, y):
-        pred = device_forward(params, Xblk, Av, loc, bnd, send_l, roots)
+    def device_loss(params, Xblk, Av, loc, bnd, send_l, roots, y, lp, bp):
+        pred = device_forward(params, Xblk, Av, loc, bnd, send_l, roots,
+                              lp, bp)
         se = (pred - y) ** 2
         if n_real is not None and n_real < plan.n_nodes:
             mask = jnp.arange(plan.n_nodes) < n_real
             return jnp.sum(jnp.where(mask, se, 0.0)) / n_real
         return jnp.mean(se)
 
-    def sharded(fn):
-        return jax.shard_map(
-            fn, mesh=mesh,
-            in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis),
-                      P(axis), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
+    in_specs = (P(), P(axis), P(), P(axis), P(axis), P(axis),
+                P(axis), P(), P(axis), P(axis))
 
-    loss_sm = sharded(device_loss)
+    loss_sm = jax.shard_map(
+        device_loss, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(),
+        check_vma=False,
+    )
 
-    def grad_body(params, Xblk, Av, loc, bnd, send_l, roots, y):
+    def grad_body(params, Xblk, Av, loc, bnd, send_l, roots, y, lp, bp):
         loss, grads = jax.value_and_grad(device_loss)(
-            params, Xblk, Av, loc, bnd, send_l, roots, y)
+            params, Xblk, Av, loc, bnd, send_l, roots, y, lp, bp)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads
 
     grad_sm = jax.shard_map(
         grad_body, mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
-                  P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -191,14 +220,14 @@ def make_giant_graph_step(mesh: Mesh, plan: GiantGraphPlan,
     @jax.jit
     def loss_fn(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
-        return loss_sm(params, Xs, Av, c.acd_loc, aux, send,
-                       plan.root_ids, y)
+        return loss_sm(params, Xs, Av, loc_tri, aux, send,
+                       plan.root_ids, y, lp_in, bp_in)
 
     @jax.jit
     def step(params, Xv, Av, y):
         Xs = Xv.reshape(plan.P, plan.B, -1)
-        loss, grads = grad_sm(params, Xs, Av, c.acd_loc, aux,
-                              send, plan.root_ids, y)
+        loss, grads = grad_sm(params, Xs, Av, loc_tri, aux,
+                              send, plan.root_ids, y, lp_in, bp_in)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss
 

@@ -821,3 +821,128 @@ def choose_partitioned_spspmm(mesh: Mesh, acd: np.ndarray, nnz_pad: int,
         return make(mesh, plan, axis), name, vols
     plan = build_ring_shard_plan(acd, nnz_pad, P)
     return make_ring_spspmm(mesh, plan, axis), "ring", vols
+
+
+# ---------------------------------------------------------------------------
+# v7: fused-kernel overlapped strategy (local + boundary contractions on
+# the Pallas chunk kernel)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedOverlappedShardPlan:
+    """OverlappedShardPlan (v3) whose two per-shard contractions run on
+    the fused Pallas chunk kernel instead of XLA gather+segment-sum.
+
+    Per shard p there are two triple sets (tuple_parallel.py v3):
+    local ``out[t] += h[u] * Av[v]`` with t, u inside the own block, and
+    boundary ``out[t] += pool[u] * Av[v]`` over the all_gathered
+    boundary pool.  Each gets a (fwd, dX, dA) ChunkPlan triple
+    (kernels/fused_spspmm.py) built host-side with one shared geometry
+    and a common padded chunk count, so the plan pytrees stack on a
+    leading P axis and shard over the mesh like any other array.
+    The fused kernel is 3.1x XLA at giant-graph scale (BENCHMARKS.md),
+    which is exactly the regime this module exists for."""
+
+    base: OverlappedShardPlan
+    loc_plans: tuple    # (fwd, dx, da) ChunkPlans, arrays stacked on P
+    bnd_plans: tuple
+
+
+jax.tree_util.register_dataclass(
+    FusedOverlappedShardPlan,
+    data_fields=["base", "loc_plans", "bnd_plans"], meta_fields=[])
+
+
+def build_fused_overlapped_shard_plan(
+        acd: np.ndarray, nnz_pad: int, P_: int, n_edge_rows: int,
+        D: int = 128, geoms: Optional[dict] = None,
+) -> FusedOverlappedShardPlan:
+    """Build the v3 partition plus per-shard fused-kernel plans.
+
+    ``n_edge_rows`` is the (padded) row count of the edge-value operand
+    Av; ``D`` the feature dim the cost model autotunes for (the kernel
+    itself requires D % 128 == 0 at run time).  ``geoms`` overrides the
+    per-role geometry dict (build_spspmm_plans_for format)."""
+    from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
+                                        autotune_spspmm_geoms,
+                                        build_spspmm_plans_for)
+
+    base = build_overlapped_shard_plan(acd, nnz_pad, P_)
+    B = base.B
+    pool_rows = max(P_ * base.Bnd, 1)
+
+    def tris_of(arr):
+        arr = np.asarray(arr)
+        return [np.stack([arr[p, :, 0], arr[p, :, 1], arr[p, :, 2]])
+                .astype(np.int64) for p in range(P_)]
+
+    def plans_for(tris, u_rows):
+        g = geoms
+        if g is None:
+            counts = [int(np.sum(t[0] < PAD_INDEX)) for t in tris]
+            if max(counts) == 0:
+                gd = (DEFAULT_C, DEFAULT_R, DEFAULT_S)
+                g = {"fwd": gd, "dx": gd, "da": gd}
+            else:
+                # autotune once on the densest shard; one geometry for
+                # all shards keeps the plan pytrees stackable
+                g = autotune_spspmm_geoms(tris[int(np.argmax(counts))],
+                                          u_rows, n_edge_rows, B, D=D)
+        built = [build_spspmm_plans_for(t, u_rows, n_edge_rows, B, g)
+                 for t in tris]
+        pad = max(p.n_chunks for ps in built for p in ps)
+        built = [build_spspmm_plans_for(t, u_rows, n_edge_rows, B, g,
+                                        pad_chunks_to=pad) for t in tris]
+        return jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
+
+    loc_plans = plans_for(tris_of(base.acd_loc), B)
+    bnd_plans = plans_for(tris_of(base.acd_bnd), pool_rows)
+    return FusedOverlappedShardPlan(base=base, loc_plans=tuple(loc_plans),
+                                    bnd_plans=tuple(bnd_plans))
+
+
+def _fused_overlapped_contract(h, Av, send_row, lp, bp, B, axis):
+    """Shard-level body of the fused v7 contraction: all_gather the
+    boundary pool (async; the local fused kernel runs under it), then
+    both contractions on the chunk kernel via the differentiable
+    fused_spspmm (custom VJP; the all_gather's transpose routes the
+    pool's gradient back to its owners)."""
+    from ..kernels.fused_spspmm import fused_spspmm, get_fused_math
+
+    pool = jax.lax.all_gather(h[send_row], axis)       # (P, Bnd, D)
+    flat = pool.reshape(-1, h.shape[-1])
+    exact = get_fused_math()
+    h32 = h.astype(jnp.float32)
+    av32 = Av.astype(jnp.float32)
+    out = fused_spspmm(h32, av32, lp[0], lp[1], lp[2], None, exact)[:B]
+    outb = fused_spspmm(flat.astype(jnp.float32), av32,
+                        bp[0], bp[1], bp[2], None, exact)[:B]
+    return (out + outb).astype(h.dtype)
+
+
+def make_fused_overlapped_spspmm(mesh: Mesh, plan: FusedOverlappedShardPlan,
+                                 axis: str = "sp"):
+    """Standalone jitted runner (parity with make_overlapped_spspmm)."""
+    base = plan.base
+
+    def body(Xb, Av, send_l, lp, bp):
+        out = _fused_overlapped_contract(
+            Xb[0], Av, send_l[0],
+            jax.tree.map(lambda x: x[0], lp),
+            jax.tree.map(lambda x: x[0], bp), base.B, axis)
+        return out[None]
+
+    def run(Xvals: jax.Array, Avals: jax.Array) -> jax.Array:
+        Xs = Xvals.reshape(base.P, base.B, -1)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        out = f(Xs, Avals, base.send_idx, plan.loc_plans, plan.bnd_plans)
+        return out.reshape(base.P * base.B, -1)
+
+    return jax.jit(run)

@@ -238,6 +238,29 @@ def test_overlapped_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got, ref.values) < 1e-5
 
 
+def test_fused_overlapped_tuple_parallel_matches_spspmm(rng):
+    """v7: both per-shard contractions on the Pallas chunk kernel
+    (interpret mode on CPU) match the single-device spspmm."""
+    from pygho_tpu.parallel.tuple_parallel import (
+        build_fused_overlapped_shard_plan, make_fused_overlapped_spspmm)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
+    acd = indexing.filterind(indX, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1], 256))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    plan = build_fused_overlapped_shard_plan(acd_p, X.nnz_pad, 8,
+                                             A.values.shape[0], D=d)
+    run = make_fused_overlapped_spspmm(mesh, plan)
+    got = run(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-5
+
+
 def test_ring_tuple_parallel_matches_spspmm(rng):
     """v5 ppermute-ring boundary exchange == single-device spspmm."""
     from pygho_tpu.parallel.tuple_parallel import (build_ring_shard_plan,
@@ -392,7 +415,8 @@ def test_giant_graph_training(rng):
     assert worst < 1e-4, worst
 
 
-@pytest.mark.parametrize("strategy", ["ring", "reduce_scatter"])
+@pytest.mark.parametrize("strategy", ["ring", "reduce_scatter",
+                                      "overlapped_fused"])
 def test_giant_graph_strategies_match_overlapped(rng, strategy):
     """Every giant-graph contraction strategy yields the same loss and
     one-step parameter update as the default overlapped plan."""
@@ -428,7 +452,8 @@ def test_giant_graph_strategies_match_overlapped(rng, strategy):
 
     def run(strat):
         plan = build_giant_graph_plan(acd_p, tid, nnz_pad, n, 8,
-                                      strategy=strat)
+                                      strategy=strat,
+                                      n_edge_rows=Av.shape[0], plan_dim=d)
         loss_fn, step = make_giant_graph_step(mesh, plan, L, lr=1e-4)
         p1, l = step(params, Xv, Av, y)
         return float(l), p1
