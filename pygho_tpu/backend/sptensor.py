@@ -88,6 +88,11 @@ class SparseTensor:
         return () if self.values is None else tuple(self.values.shape[1:])
 
     @property
+    def sparseshape(self) -> Tuple[int, ...]:
+        """Padded sparse extents (reference SpTensor.py sparseshape)."""
+        return tuple(self.sparse_shape)
+
+    @property
     def shape(self) -> Tuple[int, ...]:
         return tuple(self.sparse_shape) + self.denseshape
 

@@ -41,6 +41,131 @@ def ma_datapreprocess(
     return datadict
 
 
+def to_dense_adj(edge_index: np.ndarray,
+                 edge_batch: np.ndarray,
+                 edge_attr: Optional[np.ndarray] = None,
+                 max_num_nodes: Optional[int] = None,
+                 batch_size: Optional[int] = None,
+                 filled_value: float = 0.0):
+    """Batched sparse adjacency (concatenated edges + batch vector) to a
+    dense MaskedTensor (b, n, n, *ea) — reference MaData.py:25-70.
+
+    Host-side numpy scatter; masked slots are explicitly set to
+    ``filled_value`` (the reference relies on its buggy lazy fill,
+    PARITY.md #9)."""
+    import jax.numpy as jnp
+
+    from ..backend.matensor import MaskedTensor
+
+    edge_index = np.asarray(edge_index)
+    edge_batch = np.asarray(edge_batch)
+    if max_num_nodes is None:
+        max_num_nodes = int(edge_index.max()) + 1
+    if batch_size is None:
+        batch_size = int(edge_batch.max()) + 1
+    if edge_attr is None:
+        edge_attr = np.ones(edge_index.shape[1], dtype=np.float32)
+    data = np.full((batch_size, max_num_nodes, max_num_nodes) +
+                   edge_attr.shape[1:], filled_value, dtype=edge_attr.dtype)
+    mask = np.zeros((batch_size, max_num_nodes, max_num_nodes), dtype=bool)
+    data[edge_batch, edge_index[0], edge_index[1]] = edge_attr
+    mask[edge_batch, edge_index[0], edge_index[1]] = True
+    return MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+
+
+def to_sparse_adj(edge_index: np.ndarray,
+                  edge_batch: np.ndarray,
+                  edge_attr: Optional[np.ndarray] = None,
+                  max_num_nodes: Optional[int] = None,
+                  batch_size: Optional[int] = None,
+                  nnz_pad: Optional[int] = None):
+    """Batched edges to a 3-sparse-dim SparseTensor (b, n, n, *ea) —
+    reference MaData.py:73-106 — with bucket-padded nnz."""
+    from ..backend.sptensor import SparseTensor
+
+    edge_index = np.asarray(edge_index)
+    edge_batch = np.asarray(edge_batch)
+    if max_num_nodes is None:
+        max_num_nodes = int(edge_index.max()) + 1
+    if batch_size is None:
+        batch_size = int(edge_batch.max()) + 1
+    inds = np.concatenate([edge_batch[None, :], edge_index], axis=0)
+    return SparseTensor.from_numpy(
+        inds, edge_attr,
+        sparse_shape=(batch_size, max_num_nodes, max_num_nodes),
+        nnz_pad=nnz_pad, is_coalesced=False)
+
+
+def to_dense_x(nodeX: np.ndarray,
+               Xptr: np.ndarray,
+               max_num_nodes: Optional[int] = None,
+               batch_size: Optional[int] = None,
+               filled_value: float = 0.0):
+    """Concatenated per-graph node features + ptr to a padded
+    MaskedTensor (b, ñ, *f) — reference MaData.py:109-149."""
+    import jax.numpy as jnp
+
+    from ..backend.matensor import MaskedTensor
+
+    nodeX = np.asarray(nodeX)
+    Xptr = np.asarray(Xptr)
+    counts = np.diff(Xptr)
+    if batch_size is None:
+        batch_size = Xptr.shape[0] - 1
+    if max_num_nodes is None:
+        max_num_nodes = int(counts.max())
+    data = np.full((batch_size,) + (max_num_nodes,) + nodeX.shape[1:],
+                   filled_value, dtype=nodeX.dtype)
+    mask = np.zeros((batch_size, max_num_nodes), dtype=bool)
+    for g in range(min(batch_size, counts.shape[0])):
+        n = min(int(counts[g]), max_num_nodes)
+        data[g, :n] = nodeX[Xptr[g]:Xptr[g] + n]
+        mask[g, :n] = True
+    return MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+
+
+def to_dense_tuplefeat(tuplefeat: np.ndarray,
+                       tupleshape: np.ndarray,
+                       tuplefeatptr: np.ndarray,
+                       max_tupleshape: Optional[np.ndarray] = None,
+                       batch_size: Optional[int] = None,
+                       feat2mask: Optional[Callable[[np.ndarray],
+                                                    np.ndarray]] = None):
+    """Flat row-major per-graph tuple features to a padded MaskedTensor
+    (b, n1, n2, ..., *f) — reference MaData.py:152-215.
+
+    ``feat2mask`` optionally refines the validity mask from the gathered
+    dense features (e.g. ``lambda f: f < thresh``); it is AND-ed with the
+    per-graph shape masks, as in the reference."""
+    import jax.numpy as jnp
+
+    from ..backend.matensor import MaskedTensor
+
+    tuplefeat = np.asarray(tuplefeat)
+    tupleshape = np.asarray(tupleshape)
+    tuplefeatptr = np.asarray(tuplefeatptr)
+    if batch_size is None:
+        batch_size = tupleshape.shape[0]
+    if max_tupleshape is None:
+        max_tupleshape = tupleshape.max(axis=0)
+    dims = tuple(int(s) for s in max_tupleshape)
+    featshape = tuplefeat.shape[1:]
+    data = np.zeros((batch_size,) + dims + featshape, dtype=tuplefeat.dtype)
+    mask = np.zeros((batch_size,) + dims, dtype=bool)
+    for g in range(min(batch_size, tupleshape.shape[0])):
+        ts = tuple(int(s) for s in tupleshape[g])
+        block = tuplefeat[tuplefeatptr[g]:tuplefeatptr[g] + int(np.prod(ts))]
+        block = block.reshape(ts + featshape)
+        sl = (g,) + tuple(slice(0, min(s, d)) for s, d in zip(ts, dims))
+        data[sl] = block[tuple(slice(0, min(s, d)) for s, d in zip(ts, dims))]
+        mask[sl] = True
+    if feat2mask is not None:
+        mask = np.logical_and(mask, np.asarray(feat2mask(data), dtype=bool))
+        data = np.where(
+            mask.reshape(mask.shape + (1,) * len(featshape)), data, 0)
+    return MaskedTensor(jnp.asarray(data), jnp.asarray(mask))
+
+
 def collate_dense(
     datas: List[Dict[str, Any]],
     annotate: Sequence[str] = ("",),

@@ -629,3 +629,82 @@ def test_masked_add_catvalue_parity(rng):
     rm = rc.mask.numpy()
     assert maxdiff(np.asarray(oc.fill_masked(0.0))[rm],
                    rc.data.numpy()[rm]) < TOL
+
+
+def test_dense_converter_parity(rng):
+    """to_dense_adj / to_sparse_adj / to_dense_x / to_dense_tuplefeat vs
+    the reference (MaData.py:25-215), valid positions only (the
+    reference's lazy padvalue fill leaves garbage at masked slots)."""
+    _shim_torch_geometric_full()
+    from pygho.hodata import MaData as RefMa
+    from pygho_tpu.hodata import ma_data
+
+    # --- shared instance: 3 graphs, concatenated-with-batch-vector form
+    ns = [5, 7, 4]
+    edges, batches, attrs, xs, ptr = [], [], [], [], [0]
+    for g, n in enumerate(ns):
+        adj = rng.random((n, n)) < 0.5
+        np.fill_diagonal(adj, False)
+        ei = np.stack(np.nonzero(adj)).astype(np.int64)
+        edges.append(ei)
+        batches.append(np.full(ei.shape[1], g, np.int64))
+        attrs.append(rng.normal(size=(ei.shape[1], 3)).astype(np.float32))
+        xs.append(rng.normal(size=(n, 4)).astype(np.float32))
+        ptr.append(ptr[-1] + n)
+    ei = np.concatenate(edges, axis=1)
+    eb = np.concatenate(batches)
+    ea = np.concatenate(attrs, axis=0)
+    x = np.concatenate(xs, axis=0)
+    ptr = np.asarray(ptr, np.int64)
+    nmax = max(ns)
+
+    # --- to_dense_adj
+    r = RefMa.to_dense_adj(torch.tensor(ei), torch.tensor(eb),
+                           torch.tensor(ea), max_num_nodes=nmax)
+    o = ma_data.to_dense_adj(ei, eb, ea, max_num_nodes=nmax)
+    rm = r.mask.numpy()
+    assert np.array_equal(np.asarray(o.mask), rm)
+    assert maxdiff(np.asarray(o.fill_masked(0.0))[rm],
+                   r.data.numpy()[rm]) < TOL
+
+    # --- to_sparse_adj
+    rs = RefMa.to_sparse_adj(torch.tensor(ei), torch.tensor(eb),
+                             torch.tensor(ea), max_num_nodes=nmax)
+    os_ = ma_data.to_sparse_adj(ei, eb, ea, max_num_nodes=nmax)
+    k = int(os_.nnz)
+    assert np.array_equal(np.asarray(os_.indices)[:, :k],
+                          rs.indices.numpy())
+    assert maxdiff(np.asarray(os_.values)[:k], rs.values.numpy()) < TOL
+    assert os_.sparseshape == tuple(rs.sparseshape)
+
+    # --- to_dense_x
+    rx = RefMa.to_dense_x(torch.tensor(x), torch.tensor(ptr))
+    ox = ma_data.to_dense_x(x, ptr)
+    rm = rx.mask.numpy()
+    assert np.array_equal(np.asarray(ox.mask), rm)
+    assert maxdiff(np.asarray(ox.fill_masked(0.0))[rm],
+                   rx.data.numpy()[rm]) < TOL
+
+    # --- to_dense_tuplefeat (2-tuples, per-graph (n_g, n_g) shapes)
+    tshape = np.asarray([[n, n] for n in ns], np.int64)
+    tf = [rng.normal(size=(n * n, 2)).astype(np.float32) for n in ns]
+    tptr = np.concatenate([[0], np.cumsum([n * n for n in ns])]).astype(np.int64)
+    tfc = np.concatenate(tf, axis=0)
+    rt = RefMa.to_dense_tuplefeat(torch.tensor(tfc), torch.tensor(tshape),
+                                  torch.tensor(tptr))
+    ot = ma_data.to_dense_tuplefeat(tfc, tshape, tptr)
+    rm = rt.mask.numpy()
+    assert np.array_equal(np.asarray(ot.mask), rm)
+    assert maxdiff(np.asarray(ot.fill_masked(0.0))[rm],
+                   rt.data.numpy()[rm]) < TOL
+
+    # feat2mask refinement path
+    f2m = lambda f: (f[..., 0] > 0) if hasattr(f, "shape") else None
+    rt2 = RefMa.to_dense_tuplefeat(
+        torch.tensor(tfc), torch.tensor(tshape), torch.tensor(tptr),
+        feat2mask=lambda f: f[..., 0] > 0)
+    ot2 = ma_data.to_dense_tuplefeat(tfc, tshape, tptr, feat2mask=f2m)
+    rm2 = rt2.mask.numpy()
+    assert np.array_equal(np.asarray(ot2.mask), rm2)
+    assert maxdiff(np.asarray(ot2.fill_masked(0.0))[rm2],
+                   rt2.data.numpy()[rm2]) < TOL
