@@ -22,6 +22,11 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--dataset", choices=["CSL", "EXP", "sr25", "count"],
                     default="CSL")
 parser.add_argument("--conv", default="NGNN")
+parser.add_argument("--target", default="triangle",
+                    help="count-dataset regression target: one of "
+                         "triangle/tailed_triangle/star/cycle4/cycle5/"
+                         "chordal, or 'all' (6-task regression — the "
+                         "randomgraph.mat target family)")
 parser.add_argument("--dense", action="store_true",
                     help="masked-dense ('DD') backend: spdsampler tuple "
                          "features, padded (b,n,n) tensors, einsum path "
@@ -78,7 +83,10 @@ elif args.dataset == "EXP":
 elif args.dataset == "sr25":
     graphs, num_classes, task = load_sr25(), 15, "cls"
 else:
-    graphs, num_classes, task = synthetic_subgraphcount(), 1, "reg"
+    graphs = synthetic_subgraphcount(target=args.target)
+    num_classes, task = graphs[0].y.shape[0], "reg"
+    # targets live in g.y, so the preprocessing cache must be per-target
+    args.dataset = f"count_{args.target}"
 
 rng = np.random.default_rng(0)
 perm = rng.permutation(len(graphs))

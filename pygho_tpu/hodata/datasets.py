@@ -198,14 +198,58 @@ def load_exp(root: str = "/root/reference/dataset/EXP/raw",
     return graphs
 
 
+SUBSTRUCTURES = ("triangle", "tailed_triangle", "star", "cycle4",
+                 "cycle5", "chordal")
+
+
+def count_substructures(adj: np.ndarray) -> dict:
+    """Exact non-induced subgraph counts for the six substructures of the
+    subgraphcount benchmark family (Chen et al. "Can GNNs Count
+    Substructures?", the randomgraph.mat targets behind the reference's
+    dataset/subgraphcount; also the I2-GNN counting suite): triangle,
+    tailed triangle, 3-star (claw), 4-cycle, 5-cycle, and chordal cycle
+    (diamond).  Closed forms over the adjacency matrix; brute-force
+    verified in tests/test_pipeline.py.
+    """
+    A = adj.astype(np.float64)
+    d = A.sum(1)
+    m = d.sum() / 2.0
+    A2 = A @ A
+    A3 = A2 @ A
+    tri_v = np.diag(A3) / 2.0          # triangles through each vertex
+    triangle = tri_v.sum() / 3.0
+    tailed = float((tri_v * (d - 2.0)).sum())
+    star = float((d * (d - 1.0) * (d - 2.0) / 6.0).sum())
+    # closed 4-walks: tr(A^4) = 2*sum(d^2) - 2m + 8*C4
+    cycle4 = (np.trace(A3 @ A) - 2.0 * (d * d).sum() + 2.0 * m) / 8.0
+    cycle5 = (np.trace(A3 @ A2) - 5.0 * np.trace(A3)
+              - 5.0 * ((d - 2.0) * np.diag(A3)).sum()) / 10.0
+    common = A2 * A                    # common neighbors across each edge
+    chordal = float((common * (common - 1.0) / 2.0).sum() / 2.0)
+    return {"triangle": float(triangle), "tailed_triangle": tailed,
+            "star": star, "cycle4": float(cycle4),
+            "cycle5": float(cycle5), "chordal": chordal}
+
+
 def synthetic_subgraphcount(n_graphs: int = 512, seed: int = 3,
-                            n_lo: int = 10, n_hi: int = 30) -> List[Graph]:
+                            n_lo: int = 10, n_hi: int = 30,
+                            target: str = "triangle") -> List[Graph]:
     """Substructure-counting dataset in the style of the reference's
     dataset/subgraphcount (whose raw randomgraph.mat blob is stripped from
     the snapshot, reference .MISSING_LARGE_BLOBS:1-2): random graphs with
-    per-graph triangle counts as the regression target (normalized)."""
+    per-graph substructure counts as the regression target.
+
+    ``target`` is one of SUBSTRUCTURES or "all" (all six as a 6-task
+    regression).  The default "triangle" keeps the legacy fixed /10
+    normalization; other targets are normalized by the per-target std
+    over the generated set (the randomgraph.mat convention).
+    """
+    if target != "all" and target not in SUBSTRUCTURES:
+        raise ValueError(f"unknown target {target!r}; "
+                         f"choose from {SUBSTRUCTURES + ('all',)}")
+    names = SUBSTRUCTURES if target == "all" else (target,)
     rng = np.random.default_rng(seed)
-    graphs = []
+    graphs, counts = [], []
     for _ in range(n_graphs):
         n = int(rng.integers(n_lo, n_hi + 1))
         p = float(rng.uniform(0.1, 0.3))
@@ -215,9 +259,18 @@ def synthetic_subgraphcount(n_graphs: int = 512, seed: int = 3,
         ei = np.stack(np.nonzero(adj)).astype(np.int64)
         if ei.shape[1] == 0:
             continue
-        tri = np.trace(np.linalg.matrix_power(adj.astype(np.float64), 3)) / 6
+        c = count_substructures(adj)
+        counts.append([c[k] for k in names])
         graphs.append(Graph(
             x=np.zeros((n, 1), dtype=np.int64),
             edge_index=ei, edge_attr=None,
-            y=np.array([tri / 10.0], dtype=np.float32)))
+            y=None))  # filled below once normalization is known
+    counts = np.asarray(counts, dtype=np.float64)
+    if target == "triangle":
+        scale = np.array([10.0])       # legacy normalization
+    else:
+        scale = np.maximum(counts.std(axis=0), 1e-8)
+    ys = (counts / scale).astype(np.float32)
+    for g, y in zip(graphs, ys):
+        g.y = y
     return graphs

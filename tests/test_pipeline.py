@@ -258,3 +258,66 @@ def test_padding_stats_reports_bucket_waste():
         # the bucket policy bounds waste at < ~25% (+1 graph of slack for
         # the batch remainder)
         assert st["waste"] < 0.35, (name, st)
+
+
+# ------------------------------------------------------- substructure counts
+
+
+def _brute_force_counts(adj):
+    """Independent brute-force non-induced subgraph counts (n <= 8)."""
+    import itertools
+
+    n = adj.shape[0]
+    tri = tailed = star = diamond = 0
+    for a, b, c in itertools.combinations(range(n), 3):
+        if adj[a, b] and adj[b, c] and adj[a, c]:
+            tri += 1
+            for v in (a, b, c):
+                tailed += int(adj[v].sum()) - 2
+    for v in range(n):
+        nbrs = np.nonzero(adj[v])[0]
+        star += sum(1 for _ in itertools.combinations(nbrs, 3))
+    for i, j in itertools.combinations(range(n), 2):
+        if adj[i, j]:
+            t = int((adj[i] & adj[j]).sum())
+            diamond += t * (t - 1) // 2
+
+    def cycles(k):
+        cnt = 0
+        for seq in itertools.permutations(range(n), k):
+            if all(adj[seq[i], seq[(i + 1) % k]] for i in range(k)):
+                cnt += 1
+        return cnt // (2 * k)
+
+    return {"triangle": tri, "tailed_triangle": tailed, "star": star,
+            "cycle4": cycles(4), "cycle5": cycles(5), "chordal": diamond}
+
+
+def test_count_substructures_vs_brute_force():
+    from pygho_tpu.hodata.datasets import count_substructures
+
+    rng = np.random.default_rng(7)
+    for case in range(25):
+        n = int(rng.integers(4, 9))
+        adj = rng.random((n, n)) < rng.uniform(0.2, 0.7)
+        adj = np.triu(adj, 1)
+        adj = adj | adj.T
+        got = count_substructures(adj)
+        want = _brute_force_counts(adj)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6, (case, k, got[k], want[k])
+
+
+def test_synthetic_subgraphcount_targets():
+    from pygho_tpu.hodata.datasets import (SUBSTRUCTURES,
+                                           synthetic_subgraphcount)
+
+    legacy = synthetic_subgraphcount(n_graphs=8)
+    assert all(g.y.shape == (1,) for g in legacy)
+    multi = synthetic_subgraphcount(n_graphs=32, target="all")
+    assert all(g.y.shape == (len(SUBSTRUCTURES),) for g in multi)
+    ys = np.stack([g.y for g in multi])
+    # std-normalized targets have O(1) spread per column
+    assert np.all(ys.std(0) > 0.2) and np.all(ys.std(0) < 5.0)
+    with pytest.raises(ValueError):
+        synthetic_subgraphcount(n_graphs=2, target="pentagon")
