@@ -83,7 +83,14 @@ elif args.dataset == "EXP":
 elif args.dataset == "sr25":
     graphs, num_classes, task = load_sr25(), 15, "cls"
 else:
-    graphs = synthetic_subgraphcount(target=args.target)
+    import os
+
+    from pygho_tpu.hodata.datasets import load_subgraphcount
+    _mat = "/root/reference/dataset/subgraphcount/raw/randomgraph.mat"
+    if os.path.exists(_mat):   # real benchmark blob, when present
+        graphs = load_subgraphcount(_mat, target=args.target)
+    else:                      # stripped from this snapshot -> synthetic
+        graphs = synthetic_subgraphcount(target=args.target)
     num_classes, task = graphs[0].y.shape[0], "reg"
     # targets live in g.y, so the preprocessing cache must be per-target
     args.dataset = f"count_{args.target}"

@@ -231,6 +231,40 @@ def count_substructures(adj: np.ndarray) -> dict:
             "cycle5": float(cycle5), "chordal": chordal}
 
 
+def _count_graphs_from_adjs(adjs, target: str,
+                            legacy_triangle_scale: bool) -> List[Graph]:
+    """Build Graphs with substructure-count targets from dense boolean
+    adjacencies.  Targets are std-normalized per column (the
+    randomgraph.mat convention); the legacy single-triangle path keeps
+    the original fixed /10 scale for benchmark continuity."""
+    if target != "all" and target not in SUBSTRUCTURES:
+        raise ValueError(f"unknown target {target!r}; "
+                         f"choose from {SUBSTRUCTURES + ('all',)}")
+    names = SUBSTRUCTURES if target == "all" else (target,)
+    graphs, counts = [], []
+    for adj in adjs:
+        adj = np.asarray(adj).astype(bool)
+        np.fill_diagonal(adj, False)
+        ei = np.stack(np.nonzero(adj)).astype(np.int64)
+        if ei.shape[1] == 0:
+            continue
+        c = count_substructures(adj)
+        counts.append([c[k] for k in names])
+        graphs.append(Graph(
+            x=np.zeros((adj.shape[0], 1), dtype=np.int64),
+            edge_index=ei, edge_attr=None,
+            y=None))  # filled below once normalization is known
+    counts = np.asarray(counts, dtype=np.float64)
+    if legacy_triangle_scale and target == "triangle":
+        scale = np.array([10.0])
+    else:
+        scale = np.maximum(counts.std(axis=0), 1e-8)
+    ys = (counts / scale).astype(np.float32)
+    for g, y in zip(graphs, ys):
+        g.y = y
+    return graphs
+
+
 def synthetic_subgraphcount(n_graphs: int = 512, seed: int = 3,
                             n_lo: int = 10, n_hi: int = 30,
                             target: str = "triangle") -> List[Graph]:
@@ -244,33 +278,30 @@ def synthetic_subgraphcount(n_graphs: int = 512, seed: int = 3,
     normalization; other targets are normalized by the per-target std
     over the generated set (the randomgraph.mat convention).
     """
-    if target != "all" and target not in SUBSTRUCTURES:
-        raise ValueError(f"unknown target {target!r}; "
-                         f"choose from {SUBSTRUCTURES + ('all',)}")
-    names = SUBSTRUCTURES if target == "all" else (target,)
     rng = np.random.default_rng(seed)
-    graphs, counts = [], []
+    adjs = []
     for _ in range(n_graphs):
         n = int(rng.integers(n_lo, n_hi + 1))
         p = float(rng.uniform(0.1, 0.3))
         adj = rng.random((n, n)) < p
         adj = np.triu(adj, 1)
-        adj = adj | adj.T
-        ei = np.stack(np.nonzero(adj)).astype(np.int64)
-        if ei.shape[1] == 0:
-            continue
-        c = count_substructures(adj)
-        counts.append([c[k] for k in names])
-        graphs.append(Graph(
-            x=np.zeros((n, 1), dtype=np.int64),
-            edge_index=ei, edge_attr=None,
-            y=None))  # filled below once normalization is known
-    counts = np.asarray(counts, dtype=np.float64)
-    if target == "triangle":
-        scale = np.array([10.0])       # legacy normalization
-    else:
-        scale = np.maximum(counts.std(axis=0), 1e-8)
-    ys = (counts / scale).astype(np.float32)
-    for g, y in zip(graphs, ys):
-        g.y = y
-    return graphs
+        adjs.append(adj | adj.T)
+    return _count_graphs_from_adjs(adjs, target, legacy_triangle_scale=True)
+
+
+def load_subgraphcount(
+        path: str = "/root/reference/dataset/subgraphcount/raw/"
+                    "randomgraph.mat",
+        target: str = "all") -> List[Graph]:
+    """Load the real subgraphcount benchmark (Chen et al. randomgraph.mat,
+    the blob behind reference dataset/subgraphcount) when the file is
+    available.  Only the adjacency cell array 'A' is read; targets are
+    recomputed exactly with count_substructures (brute-force-verified
+    closed forms), so the loader is independent of which precomputed
+    count columns a given .mat revision ships."""
+    from scipy.io import loadmat
+
+    mat = loadmat(path)
+    adjs = [np.asarray(a.todense() if hasattr(a, "todense") else a)
+            for a in np.asarray(mat["A"]).ravel()]
+    return _count_graphs_from_adjs(adjs, target, legacy_triangle_scale=False)

@@ -321,3 +321,36 @@ def test_synthetic_subgraphcount_targets():
     assert np.all(ys.std(0) > 0.2) and np.all(ys.std(0) < 5.0)
     with pytest.raises(ValueError):
         synthetic_subgraphcount(n_graphs=2, target="pentagon")
+
+
+def test_load_subgraphcount_mat(tmp_path):
+    """Round-trip the randomgraph.mat loader on a fabricated .mat file
+    (the real blob is stripped from the reference snapshot)."""
+    from scipy.io import savemat
+
+    from pygho_tpu.hodata.datasets import (count_substructures,
+                                           load_subgraphcount)
+
+    rng = np.random.default_rng(11)
+    adjs = []
+    for _ in range(6):
+        n = int(rng.integers(6, 12))
+        a = rng.random((n, n)) < 0.4
+        a = np.triu(a, 1)
+        adjs.append((a | a.T).astype(np.float64))
+    cell = np.empty((1, len(adjs)), dtype=object)
+    for i, a in enumerate(adjs):
+        cell[0, i] = a
+    p = str(tmp_path / "randomgraph.mat")
+    savemat(p, {"A": cell})
+    gs = load_subgraphcount(p, target="all")
+    assert len(gs) == len(adjs)
+    # per-graph structure preserved + targets = std-normalized exact counts
+    raw = np.array([[count_substructures(a.astype(bool))[k]
+                     for k in ("triangle", "tailed_triangle", "star",
+                               "cycle4", "cycle5", "chordal")]
+                    for a in adjs])
+    scale = np.maximum(raw.std(0), 1e-8)
+    got = np.stack([g.y for g in gs])
+    assert np.allclose(got, raw / scale, atol=1e-5)
+    assert gs[0].num_edges == int(adjs[0].sum())
