@@ -100,12 +100,9 @@ class OpMessagePassing(nnx.Module):
                 and A.values is not None and B.values is not None
                 and A.values.ndim == 2 and B.values.ndim == 2
                 and A.values.shape[1] == B.values.shape[1]
-                # kernel operands must be f32 (bf16-operand kernels crash
-                # the Mosaic remote-compile helper in this container);
-                # bf16 model values are cast up at the kernel boundary —
-                # the contraction math still runs in bf16 (fast mode), so
-                # this costs DMA width only, and the bf16 MLP/norm
-                # savings around the contraction dominate
+                # bf16 operands ride the kernel's grouped-DMA path when
+                # the plan's window bases are 16-aligned (the default);
+                # fused_contract falls back to an f32 cast otherwise
                 and A.values.dtype in (jnp.float32, jnp.bfloat16)
                 and B.values.dtype in (jnp.float32, jnp.bfloat16)
                 # Mosaic constraint in this container: lane dim must be a
@@ -116,9 +113,7 @@ class OpMessagePassing(nnx.Module):
             from ..kernels.fused_spspmm import get_fused_math
 
             fwd, dxp, dap = plans
-            vals = fused_spspmm(A.values.astype(jnp.float32),
-                                B.values.astype(jnp.float32),
-                                fwd, dxp, dap,
+            vals = fused_spspmm(A.values, B.values, fwd, dxp, dap,
                                 None, get_fused_math())[: tarX.nnz_pad]
             vals = vals.astype(A.values.dtype)
             keep_shape = (tuple(A.sparse_shape[:self.dim1])

@@ -94,6 +94,12 @@ class ChunkPlan:
     Rv: int = 0            # v window rows; 0 means "same as R" (legacy)
     slots: int = 2         # operand VMEM buffers; prefetch depth slots-1
     G: int = 1             # chunks per grid step (packed kernel if > 1)
+    # window-base alignment achieved per operand (1 = unaligned).  A
+    # 16-aligned base lets the kernel DMA bf16 operands as (rows/16, 16,
+    # D) groups — dynamic slices on a *tiled* bf16 dim fail Mosaic's
+    # divisibility proof, but the grouped view's leading dim is untiled.
+    u_align: int = 1
+    v_align: int = 1
 
     @property
     def r_v(self) -> int:
@@ -127,7 +133,7 @@ jax.tree_util.register_dataclass(
     data_fields=["tuv_local", "ubase", "vbase", "oblk", "uslot", "vslot",
                  "udma", "vdma", "oslot", "owait", "owait_blk", "otail"],
     meta_fields=["C", "R", "S", "out_rows", "u_rows", "v_rows", "Rv",
-                 "slots", "G"],
+                 "slots", "G", "u_align", "v_align"],
 )
 
 try:
@@ -159,6 +165,7 @@ def build_chunk_plan(
     Rv: Optional[int] = None,
     n_slots: int = 2,
     pack: int = 1,
+    base_align: int = 16,
 ) -> ChunkPlan:
     """Greedy chunker with dynamic operand windows: walk the (3, K)
     triple array (sorted by t; PAD_INDEX rows at the end are dropped) and
@@ -173,7 +180,14 @@ def build_chunk_plan(
 
     Inserts zero-work chunks for untouched output blocks (empty segments
     must come out 0) and optionally pads the chunk count to a stable
-    size."""
+    size.
+
+    ``base_align`` (default 16) keeps every window base a multiple of
+    that many rows — required for bf16-operand DMA (grouped-view trick,
+    see ChunkPlan.u_align) — at the cost of chunking with an effective
+    index-range bound of R - base_align + 1.  Alignment is applied
+    per-operand only where R/Rv and the operand row counts are themselves
+    multiples of it (recorded in u_align/v_align)."""
     tuv = np.asarray(tuv)
     Rv = R if Rv is None else Rv
     t, u, v = tuv[0], tuv[1], tuv[2]
@@ -184,29 +198,35 @@ def build_chunk_plan(
     assert out_rows % S == 0, "out_rows must be a multiple of S"
     assert u_rows >= R and v_rows >= Rv, "operand rows must be >= R"
     assert np.all(np.diff(t) >= 0), "triples must be sorted by t"
+    au = base_align if (base_align > 1 and R % base_align == 0
+                        and u_rows % base_align == 0) else 1
+    av = base_align if (base_align > 1 and Rv % base_align == 0
+                        and v_rows % base_align == 0) else 1
+    R_eff = R - (au - 1)
+    Rv_eff = Rv - (av - 1)
 
     from .. import native as _native
 
     # Opportunistic base quantization: when a chunk's index range leaves
     # slack, snap the window base down to a coarse grid — nearby chunks
     # then share bases exactly and the kernel skips their window DMAs.
-    # Chunking itself keeps the full R range (no extra fragmentation).
-    Qu = max(R // 4, 8)
-    Qv = max(Rv // 4, 8)
+    # Chunking itself keeps the full R_eff range (no extra fragmentation).
+    Qu = max((R // 4) // au * au, au, 8 if au == 1 else au)
+    Qv = max((Rv // 4) // av * av, av, 8 if av == 1 else av)
 
     host = _native.get()
     chunks = []  # (start, end, ubase, vbase, oblk)
     if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn2"):
         starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn2(
             np.ascontiguousarray(t), np.ascontiguousarray(u),
-            np.ascontiguousarray(v), C, R, Rv, S)
+            np.ascontiguousarray(v), C, R_eff, Rv_eff, S)
         chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
                           vbs.tolist(), obs.tolist()))
-    elif host is not None and K > 0 and Rv == R and hasattr(
+    elif host is not None and K > 0 and Rv_eff == R_eff and hasattr(
             host, "chunk_bounds_dyn"):
         starts, ends, ubs, vbs, obs = host.chunk_bounds_dyn(
             np.ascontiguousarray(t), np.ascontiguousarray(u),
-            np.ascontiguousarray(v), C, R, S)
+            np.ascontiguousarray(v), C, R_eff, S)
         chunks = list(zip(starts.tolist(), ends.tolist(), ubs.tolist(),
                           vbs.tolist(), obs.tolist()))
     else:
@@ -218,7 +238,7 @@ def build_chunk_plan(
             umax = np.maximum.accumulate(u[sl])
             vmin = np.minimum.accumulate(v[sl])
             vmax = np.maximum.accumulate(v[sl])
-            ok = ((umax - umin < R) & (vmax - vmin < Rv)
+            ok = ((umax - umin < R_eff) & (vmax - vmin < Rv_eff)
                   & (t[sl] // S == t[start] // S))
             bad = np.nonzero(~ok)[0]
             end = start + (int(bad[0]) if len(bad) else (end_max - start))
@@ -227,16 +247,19 @@ def build_chunk_plan(
                            int(u[start:end].min()), int(v[start:end].min()),
                            int(t[start] // S)))
             start = end
-    # snap each base to the Q grid when the range still fits in the window
-    def snap(lo_, hi_, rows, win, q_):
+    # snap each base to the Q grid when the range still fits in the
+    # window; always land on the a_ alignment grid (range < R - a_ + 1
+    # guarantees the aligned-down base still covers the chunk)
+    def snap(lo_, hi_, rows, win, q_, a_):
         q = (lo_ // q_) * q_
-        base = q if hi_ - q < win else lo_
+        base = q if hi_ - q < win else (lo_ // a_) * a_
         return min(base, rows - win)
 
     chunks = [(s0, e0,
-               snap(ub, int(u[s0:e0].max()) if e0 > s0 else ub, u_rows, R, Qu),
+               snap(ub, int(u[s0:e0].max()) if e0 > s0 else ub, u_rows, R,
+                    Qu, au),
                snap(vb, int(v[s0:e0].max()) if e0 > s0 else vb, v_rows, Rv,
-                    Qv),
+                    Qv, av),
                ob)
               for (s0, e0, ub, vb, ob) in chunks]
 
@@ -335,7 +358,7 @@ def build_chunk_plan(
         uslot=uslot, vslot=vslot, udma=udma, vdma=vdma,
         oslot=oslot, owait=owait, owait_blk=owait_blk, otail=otail,
         C=C, R=R, S=S, out_rows=out_rows, u_rows=u_rows, v_rows=v_rows,
-        Rv=Rv, slots=n_slots, G=pack)
+        Rv=Rv, slots=n_slots, G=pack, u_align=au, v_align=av)
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +410,11 @@ def _chunk_math(t_loc, u_loc, v_loc, uw, vw, C, R, S, Rv, exact):
 
 
 def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
-                  depth: int = 1):
+                  depth: int = 1, gu: int = 1, gv: int = 1):
+    """``gu``/``gv`` > 1: the operand HBM refs arrive as (rows/g, g, D)
+    grouped views (bf16 — dynamic slices on the untiled leading dim
+    sidestep Mosaic's tile-divisibility proof); window bases are plan-
+    aligned to g so the group index is exact."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -398,14 +425,16 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
         n = pl.num_programs(0)
 
         def u_copy(chunk):
+            src = (u_hbm.at[pl.ds(ubase_ref[chunk], R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ubase_ref[chunk] // gu, R // gu)])
             return pltpu.make_async_copy(
-                u_hbm.at[pl.ds(ubase_ref[chunk], R)],
-                ubuf.at[uslot_ref[chunk]], sems.at[uslot_ref[chunk], 0])
+                src, ubuf.at[uslot_ref[chunk]], sems.at[uslot_ref[chunk], 0])
 
         def v_copy(chunk):
+            src = (v_hbm.at[pl.ds(vbase_ref[chunk], Rv)] if gv == 1 else
+                   v_hbm.at[pl.ds(vbase_ref[chunk] // gv, Rv // gv)])
             return pltpu.make_async_copy(
-                v_hbm.at[pl.ds(vbase_ref[chunk], Rv)],
-                vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
+                src, vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
 
         # warm-up: issue the first chunk's DMAs plus the prefetch horizon
         # (chunks 1..depth-1); steady state keeps `depth` chunks in
@@ -447,9 +476,14 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
         @pl.when(vdma_ref[i] == 1)
         def _():
             v_copy(i).wait()
+        uw = ubuf[uslot_ref[i]]
+        vw = vbuf[vslot_ref[i]]
+        if gu > 1:
+            uw = uw.reshape(R, uw.shape[-1])
+        if gv > 1:
+            vw = vw.reshape(Rv, vw.shape[-1])
         acc = _chunk_math(tuv_ref[0, 0, :], tuv_ref[0, 1, :],
-                          tuv_ref[0, 2, :], ubuf[uslot_ref[i]],
-                          vbuf[vslot_ref[i]], C, R, S, Rv, exact)
+                          tuv_ref[0, 2, :], uw, vw, C, R, S, Rv, exact)
 
         first = jnp.logical_or(
             i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
@@ -607,6 +641,19 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
     D = U.shape[-1]
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
         "operands must be padded to the plan's row counts")
+
+    # bf16 operands DMA as (rows/16, 16, D) groups — needs 16-aligned
+    # window bases from the plan; otherwise cast up to f32 (correct,
+    # just wider DMAs).  The packed kernel keeps the f32-only contract.
+    def grouping(x, align, win):
+        if x.dtype != jnp.bfloat16:
+            return x, 1
+        if align % 16 or win % 16 or plan.G > 1:
+            return x.astype(jnp.float32), 1
+        return x[: (x.shape[0] // 16) * 16].reshape(-1, 16, x.shape[-1]), 16
+
+    U, gu = grouping(U, plan.u_align, R)
+    V, gv = grouping(V, plan.v_align, Rv)
     if not interpret:
         assert D % 128 == 0, (
             f"fused kernel needs a feature dim that is a multiple of 128 "
@@ -665,13 +712,15 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
         out_specs=pl.BlockSpec((S, D),
                                lambda i, ub, vb, ob, *refs: (ob[i], 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, R, D), U.dtype),
-            pltpu.VMEM((n_slots, Rv, D), V.dtype),
+            pltpu.VMEM((n_slots, R, D) if gu == 1 else
+                       (n_slots, R // gu, gu, D), U.dtype),
+            pltpu.VMEM((n_slots, Rv, D) if gv == 1 else
+                       (n_slots, Rv // gv, gv, D), V.dtype),
             pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )
     out = pl.pallas_call(
-        _fused_kernel(C, R, S, exact, Rv, depth=n_slots - 1),
+        _fused_kernel(C, R, S, exact, Rv, depth=n_slots - 1, gu=gu, gv=gv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=cost,

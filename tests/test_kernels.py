@@ -500,3 +500,62 @@ def test_packed_kernel_matches_default(rng, G):
     o1 = fused_contract(U, V, p1, exact=True)
     oG = fused_contract(U, V, pG, exact=True)
     assert maxdiff(o1, oG) < 1e-6
+
+
+def test_bf16_operands_grouped_path(rng):
+    """bf16 operands ride the grouped-DMA path (plan bases 16-aligned,
+    operands viewed as (rows/16, 16, D)); verified on a real v5e
+    2026-08-18 — the flat bf16 DMA fails Mosaic's tile-divisibility
+    proof, the grouped view compiles and matches.  Here: interpret-mode
+    numerics vs the f32 oracle, plus the alignment invariants the TPU
+    path relies on."""
+    n_out, n_u, n_v, D = 1024, 512, 256, 128
+    K = 4096
+    t = np.sort(rng.integers(0, n_out, K))
+    u = rng.integers(0, n_u, K)
+    v = rng.integers(0, n_v, K)
+    tuv = np.stack([t, u, v]).astype(np.int64)
+    plan = build_chunk_plan(tuv, n_u, n_v, n_out, C=128, R=192, S=256,
+                            Rv=96)
+    # R=192 is 16-alignable, Rv=96 is 16-alignable
+    assert plan.u_align == 16 and plan.v_align == 16
+    assert (np.asarray(plan.ubase) % 16 == 0).all()
+    assert (np.asarray(plan.vbase) % 16 == 0).all()
+    U32 = rng.normal(size=(n_u, D)).astype(np.float32)
+    V32 = rng.normal(size=(n_v, D)).astype(np.float32)
+    ref = np.zeros((n_out, D), np.float32)
+    np.add.at(ref, t, U32[u] * V32[v])
+    out = np.asarray(fused_contract(
+        jnp.asarray(U32).astype(jnp.bfloat16),
+        jnp.asarray(V32).astype(jnp.bfloat16), plan, interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+    # mixed dtypes: f32 cotangent x bf16 operand (the bwd-rule shape)
+    out_m = np.asarray(fused_contract(
+        jnp.asarray(U32), jnp.asarray(V32).astype(jnp.bfloat16), plan,
+        interpret=True))
+    rel_m = np.abs(out_m - ref).max() / np.abs(ref).max()
+    assert rel_m < 0.05, rel_m
+
+
+def test_bf16_operands_fall_back_without_alignment(rng):
+    """Plans built with base_align=1 (or window sizes not divisible by
+    16) must still accept bf16 operands via the internal f32 upcast."""
+    n_out, n_u, n_v, D = 512, 256, 256, 128
+    K = 1024
+    t = np.sort(rng.integers(0, n_out, K))
+    u = rng.integers(0, n_u, K)
+    v = rng.integers(0, n_v, K)
+    tuv = np.stack([t, u, v]).astype(np.int64)
+    plan = build_chunk_plan(tuv, n_u, n_v, n_out, C=128, R=256, S=256,
+                            base_align=1)
+    assert plan.u_align == 1 and plan.v_align == 1
+    U32 = rng.normal(size=(n_u, D)).astype(np.float32)
+    V32 = rng.normal(size=(n_v, D)).astype(np.float32)
+    ref = np.zeros((n_out, D), np.float32)
+    np.add.at(ref, t, U32[u] * V32[v])
+    out = np.asarray(fused_contract(
+        jnp.asarray(U32).astype(jnp.bfloat16),
+        jnp.asarray(V32).astype(jnp.bfloat16), plan, interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
