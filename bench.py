@@ -248,6 +248,22 @@ def main():
         set_fused_math(True)
         log(f"train step chained ({tag}): {cstep[tag] * 1e3:.2f} ms/step "
             f"(loss {lc:.4f})")
+
+    # chained fused with a bf16 model: bf16 values feed the kernel's
+    # grouped-DMA path directly (no f32 upcast at the boundary)
+    set_fused_math(False)
+    mb = make_sp_model("NGNN", num_layer=6, hiddim=D, seed=0,
+                       mlp={"norm": "bn", "act": "silu"},
+                       dtype=jnp.bfloat16)
+    ob = make_optimizer(mb, 1e-3)
+    float(chain_fn(mb, ob, fbatch, n_steps))  # compile + warm
+    r = min(rtt(), rtt())
+    t0 = time.perf_counter()
+    lb = float(chain_fn(mb, ob, fbatch, n_steps))
+    cstep["fused_bf16"] = (time.perf_counter() - t0 - r) / n_steps
+    set_fused_math(True)
+    log(f"train step chained (fused, bf16 model): "
+        f"{cstep['fused_bf16'] * 1e3:.2f} ms/step (loss {lb:.4f})")
     # 6 layers x (fwd + dX + dA) gather-scatter passes over acd
     step_rows = 6 * 3 * acd_rows / step_dt
     log(f"train step: {step_dt * 1e3:.1f} ms "
@@ -279,6 +295,7 @@ def main():
             "train_step_fused_bf16_ms": fstep_dt * 1e3,
             "train_step_chained_ms": cstep["xla"] * 1e3,
             "train_step_chained_fused_ms": cstep["fused"] * 1e3,
+            "train_step_chained_fused_bf16_ms": cstep["fused_bf16"] * 1e3,
             "train_rows_per_s": step_rows,
             "acd_rows": acd_rows,
             "platform": str(dev),
