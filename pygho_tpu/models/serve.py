@@ -32,6 +32,34 @@ def _unpad(pred: np.ndarray, batch: Dict[str, Any]) -> np.ndarray:
     return pred[: int(mask.sum())]
 
 
+class _HostPool:
+    """Persistent spawn-based process pool for host-side tuple
+    precompute.  Spawn (not fork): the parent holds a live TPU/tunnel
+    client whose threads must not be forked; workers only run
+    numpy/scipy transforms and never touch a device."""
+
+    def __init__(self, num_workers: int):
+        self.num_workers = num_workers
+        self._executor = None
+
+    def map(self, fn, items):
+        from concurrent.futures import ProcessPoolExecutor
+
+        if self._executor is None:
+            import multiprocessing
+
+            self._executor = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"))
+        chunk = max(1, len(items) // (4 * self.num_workers))
+        return list(self._executor.map(fn, items, chunksize=chunk))
+
+    def shutdown(self):
+        if self._executor is not None:
+            self._executor.shutdown(wait=False)
+            self._executor = None
+
+
 class SpPredictor:
     """Order-preserving batched inference for sparse models.
 
@@ -45,7 +73,7 @@ class SpPredictor:
     def __init__(self, model: nnx.Module, tuplesamplers,
                  keys: Sequence[str], annotate: Sequence[str] = ("",),
                  batch_size: int = 128, build_plans: bool = False,
-                 plan_dim: int = 128):
+                 plan_dim: int = 128, num_workers: int = 0):
         from ..hodata.loader import Sppretransform, Buckets
         from ..hodata.sp_data import batch_to_sparse_dict
 
@@ -58,6 +86,7 @@ class SpPredictor:
         self.plan_dim = plan_dim
         self._buckets = Buckets()
         self._geoms: Dict[str, tuple] = {}
+        self._pool = _HostPool(num_workers) if num_workers > 0 else None
 
         @nnx.jit
         def forward(model, batch):
@@ -78,7 +107,11 @@ class SpPredictor:
         return loader
 
     def preprocess(self, graphs) -> List[Dict[str, Any]]:
-        """Host-side tuple precompute (reusable across calls)."""
+        """Host-side tuple precompute (reusable across calls); runs on
+        the persistent worker pool when ``num_workers > 0``."""
+        graphs = list(graphs)
+        if self._pool is not None and len(graphs) > 1:
+            return self._pool.map(self.pre, graphs)
         return [self.pre(g) for g in graphs]
 
     def __call__(self, graphs) -> np.ndarray:
@@ -97,7 +130,7 @@ class MaPredictor:
 
     def __init__(self, model: nnx.Module, tuplesamplers,
                  annotate: Sequence[str] = ("",), batch_size: int = 128,
-                 denseadj: bool = True):
+                 denseadj: bool = True, num_workers: int = 0):
         from ..hodata.loader import Mapretransform, Buckets
         from ..hodata.ma_data import batch_to_dense_dict
 
@@ -107,6 +140,7 @@ class MaPredictor:
         self.batch_size = batch_size
         self.denseadj = denseadj
         self._buckets = Buckets()
+        self._pool = _HostPool(num_workers) if num_workers > 0 else None
 
         @nnx.jit
         def forward(model, batch):
@@ -116,6 +150,9 @@ class MaPredictor:
         self._forward = forward
 
     def preprocess(self, graphs) -> List[Dict[str, Any]]:
+        graphs = list(graphs)
+        if self._pool is not None and len(graphs) > 1:
+            return self._pool.map(self.pre, graphs)
         return [self.pre(g) for g in graphs]
 
     def __call__(self, graphs) -> np.ndarray:
