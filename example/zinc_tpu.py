@@ -60,6 +60,14 @@ parser.add_argument("--chained", action="store_true",
                     help="whole-epoch lax.scan training/eval: one device "
                          "dispatch per padding bucket per epoch — wins when "
                          "host-device latency dominates step time")
+parser.add_argument("--data-root", type=str, default=None,
+                    help="path to a real ZINC dataset root "
+                         "(<root>/raw/{split}.pickle[+.index], the PyG "
+                         "ZINC raw layout); default: synthetic_zinc "
+                         "stand-in (no-egress container)")
+parser.add_argument("--full", action="store_true",
+                    help="with --data-root: use the full 250k ZINC "
+                         "instead of the 12k benchmark subset")
 args = parser.parse_args()
 
 if args.conv == "NGAT" and not args.sparse:
@@ -90,7 +98,7 @@ from pygho_tpu.hodata import (Sppretransform, Mapretransform, SpDataloader,
                               MaDataloader, ParallelPreprocessDataset)
 from pygho_tpu.hodata.sp_sampler import KhopSampler, I2Sampler
 from pygho_tpu.hodata.ma_sampler import spdsampler
-from pygho_tpu.hodata.datasets import synthetic_zinc
+from pygho_tpu.hodata.datasets import synthetic_zinc, load_zinc
 from pygho_tpu.honn import parse_precomputekey
 from pygho_tpu.models import make_sp_model, make_ma_model
 from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
@@ -98,6 +106,7 @@ from pygho_tpu.models.training import (make_sparse_steps, make_dense_steps,
                                        make_chained_train, make_chained_eval,
                                        group_stack_batches)
 from pygho_tpu.utils import MetricsLogger, device_memory_stats
+from pygho_tpu.utils.metrics import CompileCounter
 
 mlpdict = {"dp": args.dp, "norm": args.norm, "act": "silu",
            "normparam": args.normparam, "numlayer": args.mlplayer,
@@ -126,11 +135,20 @@ def run_once(rep: int) -> float:
         pre = Mapretransform(partial(spdsampler, hop=args.hop), [""])
         tag = f"ma_{args.conv}_h{args.hop}"
 
+    if args.data_root:
+        def raw(s):
+            gs = load_zinc(args.data_root, s, subset=not args.full)
+            return gs[: args.ntrain] if s == "train" and args.ntrain else gs
+        dstag = "ZINC" + ("full" if args.full else "")
+    else:
+        def raw(s):
+            return synthetic_zinc(
+                s, n_graphs=args.ntrain if s == "train" else None)
+        dstag = "SYNZINC"
     ds = {s: ParallelPreprocessDataset(
-        f"dataset/SYNZINC_{tag}_{s}"
+        f"dataset/{dstag}_{tag}_{s}"
         + (f"_n{args.ntrain}" if s == "train" and args.ntrain else ""),
-        synthetic_zinc(s, n_graphs=args.ntrain if s == "train" else None),
-        pre, 0)
+        raw(s), pre, 0)
           for s in ("train", "val", "test")}
     if args.sparse:
         if args.fused:
@@ -186,6 +204,17 @@ def run_once(rep: int) -> float:
                                  args.minlr, args.K, args.K2)
     opt = make_optimizer(model, sched, args.wd)
     metrics = MetricsLogger(f"runs/zinc_{tag}_r{rep}.jsonl")
+    compiles = CompileCounter()
+    # one-time padding-waste report (host-side collation only)
+    try:
+        from pygho_tpu.hodata.loader import padding_stats
+
+        probe = loaders["train"]._collate(
+            ds["train"].datas[: min(args.bs, len(ds["train"].datas))])
+        metrics.log({"type": "padding", **{
+            k: v for k, v in padding_stats(probe).items()}})
+    except Exception:
+        pass
     if args.ddp > 1:
         graphdef, dp_state = nnx.split((model, opt))
         dp_rng = np.random.default_rng(rep)
@@ -270,6 +299,15 @@ def run_once(rep: int) -> float:
         t3 = time.time()
         mem = device_memory_stats().get("peak_gb_in_use", 0.0)
         metrics.log_epoch(epoch, t2 - t1, t3 - t2, mem, loss, val, tst)
+        # recompile + bucket-growth telemetry: compiles after epoch 1
+        # mean a late outlier batch grew a padding bucket (the growth
+        # events name the bucket that did it)
+        growth = [e for ld in loaders.values()
+                  for e in ld.buckets.drain_events()]
+        metrics.log({"type": "telemetry", "epoch": epoch,
+                     "compiles": compiles.delta(),
+                     "compile_secs_total": round(compiles.total_secs, 2),
+                     "bucket_growth": growth})
         if np.isnan(loss) or np.isnan(val):
             break
     return tst

@@ -66,6 +66,62 @@ def synthetic_zinc(split: str = "train", n_graphs: Optional[int] = None,
     return [_random_molecule(rng) for _ in range(n)]
 
 
+def load_zinc(root: str, split: str = "train",
+              subset: bool = True) -> List[Graph]:
+    """Load the real ZINC dataset from its standard on-disk raw format
+    (the files PyG's ``ZINC(root, subset=True, split=...)`` downloads,
+    which the reference consumes at example/zinc.py:96-105 and
+    example/minimal.py:107-111).
+
+    Expects ``<root>/raw/{split}.pickle`` — a pickled list of molecule
+    dicts with ``atom_type`` (n,) int tensor/array, ``bond_type`` (n, n)
+    dense bond-order matrix, and ``logP_SA_cycle_normalized`` scalar
+    target — plus, for the 12k benchmark subset, ``{split}.index``
+    (comma-separated indices).  ``root`` may also point directly at the
+    ``raw/`` directory.  Tensors may be torch or numpy; torch is only
+    imported if needed.
+
+    Returns graphs in the exact shape the rest of the pipeline consumes
+    (same fields synthetic_zinc produces): integer atom types as
+    ``x (n, 1)``, directed edge pairs from the nonzero bond entries,
+    integer bond types as ``edge_attr``, float target ``y (1,)``.
+    """
+    raw = root if os.path.exists(os.path.join(root, f"{split}.pickle")) \
+        else os.path.join(root, "raw")
+    pkl = os.path.join(raw, f"{split}.pickle")
+    if not os.path.exists(pkl):
+        raise FileNotFoundError(
+            f"ZINC raw file {pkl} not found; download the PyG ZINC "
+            f"'molecules' archive into {root}/raw (train/val/test"
+            f".pickle + .index)")
+    with open(pkl, "rb") as f:
+        mols = pickle.load(f)
+    indices = range(len(mols))
+    if subset:
+        idx_file = os.path.join(raw, f"{split}.index")
+        if os.path.exists(idx_file):
+            with open(idx_file) as f:
+                indices = [int(t) for t in f.read().strip().rstrip(",")
+                           .split(",")]
+
+    def to_np(t):
+        return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+    graphs = []
+    for i in indices:
+        mol = mols[i]
+        x = to_np(mol["atom_type"]).astype(np.int64).reshape(-1, 1)
+        adj = to_np(mol["bond_type"])
+        src, dst = np.nonzero(adj)
+        order = np.lexsort((dst, src))
+        ei = np.stack([src[order], dst[order]]).astype(np.int64)
+        ea = adj[ei[0], ei[1]].astype(np.int64)
+        y = np.asarray(to_np(mol["logP_SA_cycle_normalized"]),
+                       dtype=np.float32).reshape(-1)[:1]
+        graphs.append(Graph(x=x, edge_index=ei, edge_attr=ea, y=y))
+    return graphs
+
+
 # ---------------------------------------------------------------- graph6
 
 

@@ -15,15 +15,31 @@ import threading
 class Buckets(dict):
     """Monotone, thread-safe bucket registry: concurrent collation workers
     may race on updates, but a bucket can only grow (max-merge on set), so
-    the 'padding sizes only grow' invariant holds under concurrency."""
+    the 'padding sizes only grow' invariant holds under concurrency.
+
+    Every actual growth is recorded in ``events`` as ``(key, old, new)``
+    — a growth after the first epoch means a late outlier batch forced a
+    new padded shape (and therefore a jit recompile on the python-loop
+    path).  ``drain_events()`` returns and clears them; training loops
+    log the drained events per epoch alongside
+    :class:`..utils.metrics.CompileCounter` deltas."""
 
     def __init__(self, *a, **k):
         super().__init__(*a, **k)
         self._lock = threading.Lock()
+        self.events = []  # (key, old, new) growth records
 
     def __setitem__(self, key, value):
         with self._lock:
-            super().__setitem__(key, max(value, super().get(key, 0)))
+            old = super().get(key, 0)
+            if value > old:
+                self.events.append((key, old, value))
+            super().__setitem__(key, max(value, old))
+
+    def drain_events(self):
+        with self._lock:
+            ev, self.events = self.events, []
+            return ev
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 
 import numpy as np

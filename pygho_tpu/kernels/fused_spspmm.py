@@ -389,7 +389,9 @@ def _chunk_math(t_loc, u_loc, v_loc, uw, vw, C, R, S, Rv, exact):
                          1.0, 0.0).astype(jnp.bfloat16)
 
     def gathered(onehot, w):
-        if exact:
+        # a bf16 operand needs no decomposition: one bf16 pass selects it
+        # exactly (the one-hot rows are exact in bf16), in every mode
+        if exact and w.dtype != jnp.bfloat16:
             return sum(jnp.dot(onehot, part,
                                preferred_element_type=jnp.float32)
                        for part in _split3(w))
@@ -634,8 +636,11 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if U.dtype == jnp.bfloat16 or V.dtype == jnp.bfloat16:
-        exact = False   # inputs already bf16: decomposition is a no-op
+    # NOTE: bf16 operands do NOT flip the mode.  In exact mode a bf16
+    # operand's gather is a single (already-exact) bf16 pass while the
+    # f32 side and the scatter of the f32 product keep their 3-term
+    # decomposition — so a bf16 model under set_fused_math(True) still
+    # gets an f32-accurate contraction of its bf16 values.
     C, R, S = plan.C, plan.R, plan.S
     Rv = plan.r_v
     D = U.shape[-1]

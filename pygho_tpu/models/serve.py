@@ -68,6 +68,12 @@ class SpPredictor:
     model's precompute keys (``parse_precomputekey(model)``); pass
     ``build_plans=True`` + ``plan_dim`` to route through the fused
     Pallas kernel on TPU.
+
+    ``num_workers > 0`` starts a persistent *spawn* process pool for the
+    host precompute — spawn re-imports ``__main__``, so scripts that
+    build a predictor at module top level must guard it behind
+    ``if __name__ == "__main__":``.  Call :meth:`close` (or use the
+    predictor as a context manager) to release the pool.
     """
 
     def __init__(self, model: nnx.Module, tuplesamplers,
@@ -124,9 +130,23 @@ class SpPredictor:
                 self._forward(self.model, batch)), batch))
         return np.concatenate(preds, axis=0)
 
+    def close(self):
+        """Shut down the host precompute pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
 
 class MaPredictor:
-    """Dense (masked) counterpart of :class:`SpPredictor`."""
+    """Dense (masked) counterpart of :class:`SpPredictor`.  The
+    ``num_workers`` pool semantics (spawn + ``__main__`` guard +
+    :meth:`close`) match :class:`SpPredictor`."""
 
     def __init__(self, model: nnx.Module, tuplesamplers,
                  annotate: Sequence[str] = ("",), batch_size: int = 128,
@@ -170,6 +190,18 @@ class MaPredictor:
             preds.append(_unpad(np.asarray(
                 self._forward(self.model, batch)), batch))
         return np.concatenate(preds, axis=0)
+
+    def close(self):
+        """Shut down the host precompute pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def export_forward(model: nnx.Module, example_batch: Dict[str, Any],

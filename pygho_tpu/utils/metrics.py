@@ -50,3 +50,32 @@ class MetricsLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+
+
+class CompileCounter:
+    """Counts XLA backend compiles via jax.monitoring duration events —
+    the recompile telemetry the bucketed-padding design promises
+    (SURVEY.md §7.2 hard part #1: a handful of compiles in epoch 1,
+    then none).  ``counter.delta()`` returns compiles since the last
+    call; pair it with :class:`..hodata.loader.Buckets` growth events
+    to attribute late recompiles to bucket growth."""
+
+    _EVENT = "/jax/core/compile/backend_compile_duration"
+
+    def __init__(self):
+        self.count = 0
+        self.total_secs = 0.0
+        self._last = 0
+        from jax import monitoring
+
+        def _listener(name, secs, **kw):
+            if name == self._EVENT:
+                self.count += 1
+                self.total_secs += secs
+
+        monitoring.register_event_duration_secs_listener(_listener)
+
+    def delta(self) -> int:
+        d = self.count - self._last
+        self._last = self.count
+        return d

@@ -559,3 +559,62 @@ def test_bf16_operands_fall_back_without_alignment(rng):
         jnp.asarray(V32).astype(jnp.bfloat16), plan, interpret=True))
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
+
+
+def test_bf16_grad_through_custom_vjp(rng):
+    """jax.grad through fused_spspmm with bf16 Xv/Av residuals must
+    match the f32 gradient oracle (ADVICE r1 #3: the custom VJP's
+    backward contracts a f32 cotangent against bf16 operands)."""
+    X, A, acd_p = _case(rng)
+    plans = build_spspmm_plans(acd_p, X.nnz_pad, A.nnz_pad, X.nnz_pad,
+                               C=256, R=512, S=256)
+
+    def loss(xv, av):
+        return (fused_spspmm(xv, av, *plans, True)[: X.nnz_pad]
+                ** 2).sum()
+
+    xb = X.values.astype(jnp.bfloat16)
+    ab = A.values.astype(jnp.bfloat16)
+    g_b = jax.grad(loss, (0, 1))(xb, ab)
+    # oracle: same bf16 values, f32 compute throughout
+    g_f = jax.grad(loss, (0, 1))(xb.astype(jnp.float32),
+                                 ab.astype(jnp.float32))
+    for gb, gf in zip(g_b, g_f):
+        assert gb.dtype in (jnp.bfloat16, jnp.float32)
+        rel = (np.abs(np.asarray(gb, np.float32) - np.asarray(gf)).max()
+               / max(np.abs(np.asarray(gf)).max(), 1e-6))
+        assert rel < 0.02, rel
+
+
+def test_exact_mode_honored_for_bf16_operands(rng):
+    """exact=True with bf16 operands must produce the f32-accurate
+    contraction OF the bf16 values: the bf16 gather is a single exact
+    pass, while the f32 product's scatter keeps its 3-term
+    decomposition (ADVICE r1 #1)."""
+    n_out, n_u, n_v, D = 512, 256, 256, 128
+    K = 2048
+    t = np.sort(rng.integers(0, n_out, K))
+    u = rng.integers(0, n_u, K)
+    v = rng.integers(0, n_v, K)
+    tuv = np.stack([t, u, v]).astype(np.int64)
+    plan = build_chunk_plan(tuv, n_u, n_v, n_out, C=128, R=256, S=256)
+    # large dynamic range makes a bf16 scatter visibly lossy
+    U32 = (rng.normal(size=(n_u, D)) *
+           np.exp(rng.normal(size=(n_u, 1)) * 3)).astype(np.float32)
+    V32 = rng.normal(size=(n_v, D)).astype(np.float32)
+    Ub = jnp.asarray(U32).astype(jnp.bfloat16)
+    Vb = jnp.asarray(V32).astype(jnp.bfloat16)
+    # f64 oracle over the bf16-rounded values
+    ref = np.zeros((n_out, D), np.float64)
+    np.add.at(ref, t, np.asarray(Ub, np.float64)[u]
+              * np.asarray(Vb, np.float64)[v])
+    scale = np.abs(ref).max()
+    out_exact = np.asarray(fused_contract(Ub, Vb, plan, interpret=True,
+                                          exact=True))
+    out_fast = np.asarray(fused_contract(Ub, Vb, plan, interpret=True,
+                                         exact=False))
+    rel_exact = np.abs(out_exact - ref).max() / scale
+    rel_fast = np.abs(out_fast - ref).max() / scale
+    # exact must be f32-grade; fast is allowed bf16-grade error
+    assert rel_exact < 2e-6, rel_exact
+    assert rel_exact < rel_fast / 10

@@ -354,3 +354,43 @@ def test_load_subgraphcount_mat(tmp_path):
     got = np.stack([g.y for g in gs])
     assert np.allclose(got, raw / scale, atol=1e-5)
     assert gs[0].num_edges == int(adjs[0].sum())
+
+
+def test_load_zinc_fixture():
+    """load_zinc parses the standard PyG ZINC raw format (fixture
+    checked in at tests/fixtures/zinc): pickled molecule dicts with
+    torch tensors + subset .index files (reference example/zinc.py:96-105
+    consumes the same files through PyG)."""
+    from functools import partial
+
+    from pygho_tpu.hodata.datasets import load_zinc
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures", "zinc")
+    trn = load_zinc(root, "train", subset=True)
+    assert len(trn) == 3          # .index selects 0,2,4 of 6
+    full = load_zinc(root, "train", subset=False)
+    assert len(full) == 6
+    for g in full:
+        n = g.x.shape[0]
+        assert g.x.ndim == 2 and g.x.dtype == np.int64
+        assert 0 <= g.x.min() and g.x.max() < 21
+        ei = g.edge_index
+        assert ei.shape[0] == 2 and ei.max() < n
+        # symmetric bonds, sorted directed pairs, integer orders 1-3
+        pairs = set(map(tuple, ei.T.tolist()))
+        assert all((b, a) in pairs for a, b in pairs)
+        assert np.all(np.lexsort((ei[1], ei[0])) == np.arange(ei.shape[1]))
+        assert g.edge_attr.dtype == np.int64
+        assert 1 <= g.edge_attr.min() and g.edge_attr.max() <= 3
+        assert g.y.shape == (1,) and g.y.dtype == np.float32
+    # subset indices are honored (graph 0 of subset == graph 0 of full)
+    assert np.array_equal(trn[1].x, full[2].x)
+    # and the loaded graphs flow through the real preprocessing path
+    from pygho_tpu.hodata import Sppretransform, collate_sparse
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+
+    keys = ["X___A___1___X___0"]
+    pre = Sppretransform(partial(KhopSampler, hop=2), [""], keys)
+    datas = [pre(g) for g in trn]
+    batch = collate_sparse(datas, keys, num_graphs=len(datas))
+    assert int(batch["num_tuples"]) > 0
