@@ -116,44 +116,99 @@ def main():
         f"G rows/s (roofline {roofline_rows / 1e9:.3f}; rtt "
         f"{base_rtt * 1e3:.0f} ms)")
 
-    # ---- fused Pallas kernel (exact f32 + fast bf16), geometry from the
-    # roofline autotuner (the loader's plan_geometry="autotune" path) ----
+    # ---- fused Pallas kernels: v1 (chunk) and v2 (strip), exact f32 +
+    # fast bf16, geometry from the calibrated autotuners (the loader's
+    # plan_geometry="autotune" paths) --------------------------------------
     from pygho_tpu.kernels import (build_spspmm_plans_for,
-                                   autotune_spspmm_geoms)
+                                   autotune_spspmm_geoms,
+                                   build_spspmm_strip_plans,
+                                   autotune_strip_geoms)
     from pygho_tpu.kernels.fused_spspmm import fused_contract, _pad_rows
+    from pygho_tpu.kernels.strip_spspmm import strip_contract
 
     e_rows = batch["edge_index"].shape[1]
     fused = {}
-    plans_by_mode = {}
-    for exact in (True, False):
-        geoms = autotune_spspmm_geoms(np.asarray(acd), nnz_pad, e_rows,
-                                      nnz_pad, D=D, exact=exact)
-        plans_by_mode[exact] = build_spspmm_plans_for(
-            np.asarray(acd), nnz_pad, e_rows, nnz_pad, geoms)
-        log(f"geometry ({'exact' if exact else 'fast'}): {geoms}")
-    for exact in (True, False):
-        fwd_plan = plans_by_mode[exact][0]
+
+    def bench_contract(contract, fwd_plan, exact, tag, reps=3):
         Xp0 = _pad_rows(vals, fwd_plan.u_rows)
         Ap0 = _pad_rows(jnp.ones((e_rows, D), jnp.float32),
                         fwd_plan.v_rows)
 
         @jax.jit
-        def floop(Xp, Ap, fwd=fwd_plan, exact=exact):
+        def floop(Xp, Ap):
             def body(i, Xc):
-                o = fused_contract(Xc, Ap, fwd, interpret=False, exact=exact)
+                o = contract(Xc, Ap, fwd_plan, interpret=False,
+                             exact=exact)
                 return jnp.concatenate(
                     [o[:nnz_pad],
-                     jnp.zeros((fwd.u_rows - nnz_pad, D), jnp.float32)])                     if fwd.u_rows != nnz_pad else o[:nnz_pad]
+                     jnp.zeros((fwd_plan.u_rows - nnz_pad, D),
+                               jnp.float32)]) \
+                    if fwd_plan.u_rows != nnz_pad else o[:nnz_pad]
             return jax.lax.fori_loop(0, N_ITER, body, Xp)
 
         float(jnp.sum(floop(Xp0, Ap0)))
         r = min(rtt(), rtt())
-        t0 = time.perf_counter()
-        float(jnp.sum(floop(Xp0, Ap0)))
-        dtf = (time.perf_counter() - t0 - r) / N_ITER
-        fused["exact" if exact else "fast"] = dtf
-        log(f"fused pallas ({'exact f32' if exact else 'fast bf16'}): "
-            f"{dtf * 1e3:.3f} ms -> {acd_rows / dtf / 1e9:.3f} G rows/s")
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(floop(Xp0, Ap0)))
+            ts.append((time.perf_counter() - t0 - r) / N_ITER)
+        dtf = min(ts)
+        log(f"{tag}: {dtf * 1e3:.3f} ms -> "
+            f"{acd_rows / dtf / 1e9:.3f} G rows/s")
+        return dtf
+
+    for exact in (True, False):
+        mode = "exact" if exact else "fast"
+        geoms = autotune_spspmm_geoms(np.asarray(acd), nnz_pad, e_rows,
+                                      nnz_pad, D=D, exact=exact)
+        v1_fwd = build_spspmm_plans_for(
+            np.asarray(acd), nnz_pad, e_rows, nnz_pad, geoms)[0]
+        log(f"v1 geometry ({mode}): {geoms['fwd']}")
+        fused[mode] = bench_contract(fused_contract, v1_fwd, exact,
+                                     f"fused v1 chunk ({mode})")
+        sgeoms = autotune_strip_geoms(np.asarray(acd), nnz_pad, e_rows,
+                                      nnz_pad, D=D, exact=exact)
+        s_fwd = build_spspmm_strip_plans(
+            np.asarray(acd), nnz_pad, e_rows, nnz_pad, sgeoms)[0]
+        log(f"v2 strip geometry ({mode}): {sgeoms['fwd']} "
+            f"steps={s_fwd.n_steps}")
+        fused[f"strip_{mode}"] = bench_contract(
+            strip_contract, s_fwd, exact, f"fused v2 strip ({mode})")
+
+    # ---- SDDMM (spsphadamard): gather-multiply on matched patterns ------
+    from pygho_tpu.backend.indexing import spsphadamard_ind
+    from pygho_tpu.backend.spspmm import spsphadamard
+    from pygho_tpu.backend.sptensor import SparseTensor
+
+    tid = np.asarray(batch["tupleid"])[:, :nnz]   # real columns only
+    b2a_host = spsphadamard_ind(tid, tid).astype(np.int32)
+    b2a = jnp.asarray(np.concatenate(
+        [b2a_host, np.full(nnz_pad - nnz, -1, np.int32)]))
+
+    @jax.jit
+    def sddmm_loop(vals):
+        Xs = SparseTensor(jnp.asarray(batch["tupleid"]), vals,
+                          jnp.asarray(batch["num_tuples"], jnp.int32),
+                          (batch["x"].shape[0],) * 2)
+
+        def body(i, v):
+            A2 = SparseTensor(Xs.indices, v, Xs.nnz, Xs.sparse_shape)
+            return spsphadamard(A2, Xs, b2a).values
+
+        return jax.lax.fori_loop(0, N_ITER, body, vals)
+
+    float(jnp.sum(sddmm_loop(vals)))
+    r = min(rtt(), rtt())
+    t0 = time.perf_counter()
+    float(jnp.sum(sddmm_loop(vals)))
+    dt_sddmm = (time.perf_counter() - t0 - r) / N_ITER
+    # roofline for the hadamard: 3 HBM passes over nnz rows
+    sddmm_rows = int(batch["num_tuples"]) / dt_sddmm
+    sddmm_roof = bw / (3 * D * 4)
+    log(f"sddmm (spsphadamard): {dt_sddmm * 1e3:.3f} ms -> "
+        f"{sddmm_rows / 1e9:.3f} G rows/s "
+        f"({sddmm_rows / sddmm_roof:.2f} of its 3-pass roofline)")
 
     # ---- dense DD path: the MXU einsum route on the same workload -------
     from pygho_tpu.hodata import Mapretransform, collate_dense
@@ -273,7 +328,8 @@ def main():
     # headline: the EXACT-f32 kernel (the apples-to-apples match for
     # the reference's f32 elementwise hot loop, Spspmm.py:307-321);
     # bf16 fast-math and the XLA path are recorded in extra.
-    best = max(rows_per_s, acd_rows / fused["exact"])
+    best = max(rows_per_s, acd_rows / fused["exact"],
+               acd_rows / fused["strip_exact"])
     print(json.dumps({
         "metric": "tuple-edges/s/chip (SpMM fwd, exact f32 math, "
                   "ZINC NGNN d=128)",
@@ -286,6 +342,13 @@ def main():
             "fused_exact_ms": fused["exact"] * 1e3,
             "fused_fast_bf16_ms": fused["fast"] * 1e3,
             "fused_fast_rows_per_s": acd_rows / fused["fast"],
+            "strip_exact_ms": fused["strip_exact"] * 1e3,
+            "strip_exact_rows_per_s": acd_rows / fused["strip_exact"],
+            "strip_fast_ms": fused["strip_fast"] * 1e3,
+            "strip_fast_rows_per_s": acd_rows / fused["strip_fast"],
+            "sddmm_ms": dt_sddmm * 1e3,
+            "sddmm_rows_per_s": sddmm_rows,
+            "sddmm_vs_own_roofline": sddmm_rows / sddmm_roof,
             "dense_dd_ms": dt_dd * 1e3,
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "train_step_ms": step_dt * 1e3,

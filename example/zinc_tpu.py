@@ -157,11 +157,12 @@ def run_once(rep: int) -> float:
             set_fused_math(False)
         # chained mode stacks on host and device_puts once — per-batch
         # device_put would move the epoch over the link several times
-        mk = lambda split, **kw: SpDataloader(ds[split].datas, args.bs,
-                                              keys, build_plans=args.fused,
-                                              plan_dim=args.hiddim,
-                                              device_put=not args.chained,
-                                              **kw)
+        mk = lambda split, **kw: SpDataloader(
+            ds[split].datas, args.bs, keys, build_plans=args.fused,
+            plan_dim=args.hiddim,
+            # NGAT: fused attention stages need the score/agg plan pairs
+            attention_plans=args.fused and args.conv == "NGAT",
+            device_put=not args.chained, **kw)
         train_step, eval_step = make_sparse_steps()
     else:
         mk = lambda split, **kw: MaDataloader(ds[split].datas, args.bs,

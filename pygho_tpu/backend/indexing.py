@@ -351,3 +351,81 @@ def deg2batch(deg: np.ndarray, dim_size: Optional[int] = None) -> np.ndarray:
     if dim_size is not None:
         assert out.shape[0] == dim_size
     return out
+
+
+def union_ind(indA: np.ndarray, indB: np.ndarray,
+              nnz_pad: Optional[int] = None):
+    """Host precompute for ``SparseTensor.add(samesparse=False)``
+    (reference SpTensor.py:507-514 concatenates and re-coalesces on the
+    fly — a dynamic-shape op; here the union pattern and both row maps
+    are built once on the host, the device op is one scatter-add).
+
+    ``indA``/``indB``: real (unpadded) index columns, each sorted &
+    coalesced.  Returns ``(union_indices_padded, union_nnz, a2u, b2u)``
+    where a2u/b2u map each input row to its union position.
+    """
+    indA = np.asarray(indA, dtype=np.int64)
+    indB = np.asarray(indB, dtype=np.int64)
+    hA, hB = indicehash(indA), indicehash(indB)
+    assert np.all(np.diff(hA) > 0) and np.all(np.diff(hB) > 0), (
+        "operands must be sorted & coalesced")
+    hU = np.union1d(hA, hB)
+    a2u = np.searchsorted(hU, hA).astype(np.int32)
+    b2u = np.searchsorted(hU, hB).astype(np.int32)
+    indU = decodehash(hU, indA.shape[0])
+    nnz = indU.shape[1]
+    if nnz_pad is None:
+        nnz_pad = bucket_size(nnz)
+    return (pad_indices(indU, nnz_pad), nnz, a2u, b2u)
+
+
+def diag_ind(ind: np.ndarray, dims: Optional[Sequence[int]] = None,
+             nnz_pad: Optional[int] = None):
+    """Host precompute for sparse-output ``SparseTensor.diag``
+    (reference SpTensor.py:354-366): the sub-pattern of rows whose
+    ``dims`` indices all coincide, reduced to (kept dims + one diagonal
+    dim).  Returns ``(tar_indices_padded, tar_nnz, d2a)`` where
+    ``d2a[r]`` is the source row of target row r."""
+    ind = np.asarray(ind, dtype=np.int64)
+    sd = ind.shape[0]
+    if dims is None:
+        dims = list(range(sd))
+    dims = sorted(set(dims))
+    assert len(dims) >= 2
+    on = np.ones(ind.shape[1], dtype=bool)
+    for d in dims[1:]:
+        on &= ind[d] == ind[dims[0]]
+    d2a = np.nonzero(on)[0].astype(np.int32)
+    keep = [i for i in range(sd) if i not in dims[1:]]
+    tar = ind[keep][:, d2a]
+    nnz = tar.shape[1]
+    if nnz_pad is None:
+        nnz_pad = bucket_size(nnz)
+    return (pad_indices(tar, nnz_pad), nnz,
+            np.concatenate([d2a, np.full(nnz_pad - nnz, -1, np.int32)]))
+
+
+def unpooling_ind(src_ind: np.ndarray, tar_ind: np.ndarray,
+                  dims: Sequence[int]) -> np.ndarray:
+    """Host precompute for generic sparse->sparse ``unpooling``
+    (reference SpTensor.py:447-468): for each target row, the position
+    in ``src_ind`` of the target's indices with ``dims`` removed (-1 if
+    absent).  Feed the result to ``SparseTensor.unpooling(b2a=...)``.
+
+    ``src_ind`` real columns only; ``tar_ind`` may be padded (pad
+    columns map to -1)."""
+    dims = sorted(set([dims] if isinstance(dims, int) else dims))
+    tar_ind = np.asarray(tar_ind, dtype=np.int64)
+    keep = [i for i in range(tar_ind.shape[0]) if i not in dims]
+    real = tar_ind[0] < PAD_INDEX
+    sub = tar_ind[keep][:, real]
+    b2a = np.full(tar_ind.shape[1], -1, dtype=np.int32)
+    # sub rows may repeat (many tuples share one reduced key); search
+    # each against the sorted src pattern
+    src = np.asarray(src_ind, dtype=np.int64)
+    hs = indicehash(src)
+    ht = indicehash(sub)
+    pos = np.searchsorted(hs, ht, side="right") - 1
+    pos = np.maximum(pos, 0)
+    b2a[real] = np.where(hs[pos] == ht, pos, -1).astype(np.int32)
+    return b2a

@@ -127,15 +127,35 @@ class SparseTensor:
                             jnp.zeros((), dtype=nvalues.dtype))
         return dataclasses.replace(self, values=nvalues)
 
-    def add(self, tarX: "SparseTensor", samesparse: bool) -> "SparseTensor":
-        """Add two SparseTensors (reference SpTensor.py:507-514).  Only the
-        samesparse=True fast path is jittable; merging two different
-        patterns requires host-side re-coalescing by design."""
-        if not samesparse:
+    def add(self, tarX: "SparseTensor", samesparse: bool,
+            union: Optional[tuple] = None) -> "SparseTensor":
+        """Add two SparseTensors (reference SpTensor.py:507-514).
+
+        ``samesparse=True``: identical patterns, values add directly.
+        ``samesparse=False``: needs the host-precomputed ``union`` plan
+        ``(union_indices, union_nnz, a2u, b2u)`` from
+        ``indexing.union_ind(indA, indB)`` — the device op is then one
+        static-shape scatter-add onto the union pattern (the reference
+        re-coalesces eagerly, SpTensor.py:513, a dynamic-shape op)."""
+        if samesparse:
+            return dataclasses.replace(self,
+                                       values=self.values + tarX.values)
+        if union is None:
             raise NotImplementedError(
-                "samesparse=False requires host-side coalescing; "
-                "merge patterns at preprocessing time instead")
-        return dataclasses.replace(self, values=self.values + tarX.values)
+                "samesparse=False needs a precomputed union plan: "
+                "indexing.union_ind(indA, indB) -> "
+                "(union_indices, union_nnz, a2u, b2u)")
+        u_ind, u_nnz, a2u, b2u = union
+        u_ind = jnp.asarray(u_ind)
+        u_pad = u_ind.shape[1]
+        vals = jnp.zeros((u_pad,) + self.denseshape, self.values.dtype)
+        na, nb = a2u.shape[0], b2u.shape[0]
+        vals = vals.at[jnp.asarray(a2u)].add(self.values[:na])
+        vals = vals.at[jnp.asarray(b2u)].add(
+            tarX.values[:nb].astype(self.values.dtype))
+        return SparseTensor(indices=u_ind, values=vals,
+                            nnz=jnp.asarray(u_nnz, jnp.int32),
+                            sparse_shape=self.sparse_shape)
 
     def catvalue(self, tarXs: Union["SparseTensor", Iterable["SparseTensor"]],
                  samesparse: bool) -> "SparseTensor":
@@ -259,11 +279,34 @@ class SparseTensor:
                               "sum", indices_are_sorted=False)
 
     def diag(self, dims: Optional[Sequence[int]] = None,
-             return_sparse: bool = False):
+             return_sparse: bool = False,
+             diag_pattern: Optional[tuple] = None):
+        """Diagonal extraction (reference SpTensor.py:322-366).  Dense
+        output by default; ``return_sparse=True`` returns the diagonal
+        sub-pattern as a SparseTensor and needs the host-precomputed
+        ``diag_pattern = indexing.diag_ind(indices, dims)`` — the device
+        op is one clamp-gather."""
         if return_sparse:
-            raise NotImplementedError(
-                "sparse-output diag needs a precomputed pattern; "
-                "use diag_to_dense or preprocess-time extraction")
+            if diag_pattern is None:
+                raise NotImplementedError(
+                    "sparse-output diag needs a precomputed pattern: "
+                    "indexing.diag_ind(ind, dims) -> "
+                    "(tar_indices, tar_nnz, d2a)")
+            tar_ind, tar_nnz, d2a = diag_pattern
+            tar_ind = jnp.asarray(tar_ind)
+            d2a = jnp.asarray(d2a)
+            vals = self.values[jnp.maximum(d2a, 0)]
+            vals = jnp.where(_expand_mask(d2a >= 0, vals.ndim), vals,
+                             jnp.zeros((), vals.dtype))
+            if dims is None:
+                dims = list(range(self.sparse_dim))
+            dims = sorted(set(dims))
+            keep = [i for i in range(self.sparse_dim)
+                    if i not in dims[1:]]
+            return SparseTensor(
+                indices=tar_ind, values=vals,
+                nnz=jnp.asarray(tar_nnz, jnp.int32),
+                sparse_shape=tuple(self.sparse_shape[d] for d in keep))
         return self.diag_to_dense(dims)
 
     # -- unpooling ---------------------------------------------------------
@@ -280,11 +323,12 @@ class SparseTensor:
         """Broadcast this tensor's values onto tarX's pattern along ``dims``
         of tarX (reference SpTensor.py:447-468).  The row map ``b2a``
         (position of each tarX row's remaining-index tuple in self, -1 if
-        absent) must be precomputed on host for device execution."""
+        absent) is host-precomputed:
+        ``indexing.unpooling_ind(src_ind, tar_ind, dims)``."""
         if b2a is None:
             raise NotImplementedError(
                 "sparse unpooling needs a precomputed b2a row map "
-                "(host: indexing.spsphadamard_ind)")
+                "(host: indexing.unpooling_ind(src_ind, tar_ind, dims))")
         vals = self.values[jnp.maximum(b2a, 0)]
         vals = jnp.where(_expand_mask(b2a >= 0, vals.ndim), vals,
                          jnp.zeros((), vals.dtype))

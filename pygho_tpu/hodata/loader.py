@@ -149,13 +149,20 @@ class _BaseLoader:
 
 
 def add_spspmm_plans(batch, keys, buckets, geoms_cache,
-                     plan_geometry="autotune", plan_dim: int = 128):
-    """Build fused-kernel chunk plans for every precompute key of one
+                     plan_geometry="autotune", plan_dim: int = 128,
+                     plan_kind: str = "strip"):
+    """Build fused-kernel plans for every precompute key of one
     collated batch (in place: ``batch["<key>___plan"]``).  Shared
     ``buckets``/``geoms_cache`` dicts keep chunk counts and geometry
     stable across batches (and across the shards of one sharded batch).
     Used by SpDataloader(build_plans=True) and
-    parallel.collate_sharded_sparse(build_plans=True)."""
+    parallel.collate_sharded_sparse(build_plans=True).
+
+    ``plan_kind``: "strip" (default — the v2 strip-aligned kernel,
+    measured 1.4-1.7x the v1 chunk kernel on the ZINC workload, see
+    BENCHMARKS.md) or "chunk" (v1).  For "strip", ``plan_geometry``
+    "autotune" picks per-role (C, R, S, St, Rv) via the strip cost
+    model; explicit tuples must be 5-tuples."""
     from ..backend.indexing import bucket_size
     from ..honn.sp_operator import KEYSEP
     from ..hodata.sp_data import parsekey
@@ -170,6 +177,47 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
         if op[0] == "X":
             return batch[f"tupleid{op[1:]}"].shape[1]
         return batch["edge_index"].shape[1]
+
+    if plan_kind == "strip":
+        from ..kernels.strip_spspmm import (autotune_strip_geoms,
+                                            build_spspmm_strip_plans)
+
+        for key in keys:
+            if not key:
+                continue
+            op0, op1, _, op2, _ = parsekey(key)
+            acd = batch[f"{key}{KEYSEP}acd"]
+            if geom == "autotune" or geom == "auto":
+                gname = f"strip{key}"
+                if gname not in geoms_cache:
+                    geoms_cache[gname] = autotune_strip_geoms(
+                        acd, rows_of(op1), rows_of(op2), rows_of(op0),
+                        D=plan_dim)
+                geoms = geoms_cache[gname]
+            elif isinstance(geom, str):
+                raise ValueError(f"unknown plan_geometry {geom!r}")
+            else:
+                geoms = {r: tuple(geom) for r in ("fwd", "dx", "da")}
+            plans = build_spspmm_strip_plans(
+                acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms)
+            k_real = int(np.sum(np.asarray(acd[0]) < (1 << 30)))
+            # fragmentation guard: skip when the average sub-chunk slot
+            # holds < 8 triples (empty slots are cheaper here than v1
+            # chunks — their matmul lanes are batched with real work) —
+            # but only at sizes where the kernel/XLA choice matters
+            if (plans[0].n_chunks > 128
+                    and plans[0].n_chunks * 8 > max(k_real, 1)):
+                continue
+            pads = {}
+            for role, p in zip(("fwd", "dx", "da"), plans):
+                pad = max(bucket_size(p.n_steps, 8),
+                          buckets.get(f"plan{key}{role}", 0))
+                buckets[f"plan{key}{role}"] = pad
+                pads[role] = pad
+            batch[f"{key}{KEYSEP}plan"] = build_spspmm_strip_plans(
+                acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms,
+                pad_steps_to=pads)
+        return
 
     for key in keys:
         if not key:
@@ -226,6 +274,59 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
         batch[f"{key}{KEYSEP}plan"] = plans
 
 
+def add_attention_plans(batch, keys, buckets, geoms_cache,
+                        plan_dim: int = 128, plan_kind: str = "strip"):
+    """Build the two extra fused-kernel plan triples the fused NGAT
+    attention path consumes (``batch["<key>___attplan"]``):
+
+    - score stage, triples (k, c, d): s12[k] = a1[c_k] * aA[d_k]
+      (out rows = the padded triple count K)
+    - aggregate stage, triples (a, c, k): out[a] += a3[c_k] * alpha[k]
+
+    Shares the bucket/geometry caching discipline of add_spspmm_plans.
+    """
+    from ..backend.indexing import PAD_INDEX, bucket_size
+    from ..honn.sp_operator import KEYSEP
+    from ..hodata.sp_data import parsekey
+    from ..kernels.strip_spspmm import (autotune_strip_geoms,
+                                        build_spspmm_strip_plans)
+
+    assert plan_kind == "strip", "attention plans ride the strip kernel"
+    for key in keys:
+        if not key:
+            continue
+        op0, op1, _, op2, _ = parsekey(key)
+        acd = np.asarray(batch[f"{key}{KEYSEP}acd"])
+        K_pad = acd.shape[1]
+        x_rows = batch[f"tupleid{op1[1:]}"].shape[1]
+        e_rows = (batch["edge_index"].shape[1] if op2 == "A"
+                  else batch[f"tupleid{op2[1:]}"].shape[1])
+        out_rows = x_rows
+        kk = np.where(acd[0] < PAD_INDEX, np.arange(K_pad), PAD_INDEX)
+        score_tuv = np.stack([kk, acd[1], acd[2]])
+        agg_tuv = np.stack([acd[0], acd[1], kk])
+        plans = {}
+        for name, tuv, u_rows, v_rows, o_rows in (
+                ("score", score_tuv, x_rows, e_rows, K_pad),
+                ("agg", agg_tuv, x_rows, K_pad, out_rows)):
+            gname = f"att_{name}{key}"
+            if gname not in geoms_cache:
+                geoms_cache[gname] = autotune_strip_geoms(
+                    tuv, u_rows, v_rows, o_rows, D=plan_dim)
+            p = build_spspmm_strip_plans(tuv, u_rows, v_rows, o_rows,
+                                         geoms_cache[gname])
+            pads = {}
+            for role, pp in zip(("fwd", "dx", "da"), p):
+                pad = max(bucket_size(pp.n_steps, 8),
+                          buckets.get(f"att{name}{key}{role}", 0))
+                buckets[f"att{name}{key}{role}"] = pad
+                pads[role] = pad
+            plans[name] = build_spspmm_strip_plans(
+                tuv, u_rows, v_rows, o_rows, geoms_cache[gname],
+                pad_steps_to=pads)
+        batch[f"{key}{KEYSEP}attplan"] = (plans["score"], plans["agg"])
+
+
 class SpDataloader(_BaseLoader):
     """Sparse batches (reference Wrapper.py:101-132).  Yields collated
     numpy/device dicts; call hodata.batch_to_sparse_dict inside your jit
@@ -242,13 +343,18 @@ class SpDataloader(_BaseLoader):
 
     def __init__(self, dataset, batch_size: int, keys: Sequence[str] = ("",),
                  annotate: Sequence[str] = ("",), build_plans: bool = False,
-                 plan_geometry="autotune", plan_dim: int = 128, **kw):
+                 plan_geometry="autotune", plan_dim: int = 128,
+                 plan_kind: str = "strip", attention_plans: bool = False,
+                 **kw):
         super().__init__(dataset, batch_size, **kw)
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
         self.build_plans = build_plans
-        self.plan_geometry = plan_geometry  # (C,R,S)|"auto"|"autotune"|None
+        self.plan_geometry = plan_geometry  # geometry|"auto"|"autotune"|None
         self.plan_dim = plan_dim
+        self.plan_kind = plan_kind          # "strip" (v2) | "chunk" (v1)
+        # fused NGAT attention: also build the score/aggregate plan pairs
+        self.attention_plans = attention_plans
         self._geoms: Dict[str, tuple] = {}
 
     def _collate(self, datas):
@@ -257,7 +363,11 @@ class SpDataloader(_BaseLoader):
                                buckets=self.buckets)
         if self.build_plans:
             add_spspmm_plans(batch, self.keys, self.buckets, self._geoms,
-                             self.plan_geometry, self.plan_dim)
+                             self.plan_geometry, self.plan_dim,
+                             self.plan_kind)
+        if self.attention_plans:
+            add_attention_plans(batch, self.keys, self.buckets,
+                                self._geoms, self.plan_dim)
         return batch
 
 

@@ -108,13 +108,18 @@ class OpMessagePassing(nnx.Module):
                 # Mosaic constraint in this container: lane dim must be a
                 # multiple of 128 (smaller feature dims use the XLA path)
                 and A.values.shape[1] % 128 == 0):
-            # fused Pallas path (sum aggregation, matching feature dims)
+            # fused Pallas path (sum aggregation, matching feature dims);
+            # dispatches on the plan type: StripPlan -> v2 strip kernel
+            # (kernels/strip_spspmm.py), ChunkPlan -> v1
             from ..kernels import fused_spspmm
             from ..kernels.fused_spspmm import get_fused_math
+            from ..kernels.strip_spspmm import StripPlan, fused_spspmm_strip
 
             fwd, dxp, dap = plans
-            vals = fused_spspmm(A.values, B.values, fwd, dxp, dap,
-                                None, get_fused_math())[: tarX.nnz_pad]
+            run = (fused_spspmm_strip if isinstance(fwd, StripPlan)
+                   else fused_spspmm)
+            vals = run(A.values, B.values, fwd, dxp, dap,
+                       None, get_fused_math())[: tarX.nnz_pad]
             vals = vals.astype(A.values.dtype)
             keep_shape = (tuple(A.sparse_shape[:self.dim1])
                           + tuple(A.sparse_shape[self.dim1 + 1:])
@@ -302,11 +307,13 @@ class OpUnpooling(nnx.Module):
         self.dims = sorted(set(dims))
         self.fromdense1dim = fromdense1dim
 
-    def __call__(self, X, tarX: SparseTensor) -> SparseTensor:
+    def __call__(self, X, tarX: SparseTensor,
+                 b2a=None) -> SparseTensor:
         if isinstance(X, SparseTensor):
-            raise NotImplementedError(
-                "sparse->sparse unpooling needs a precomputed row map; "
-                "use the dense path or preprocess-time maps")
+            # generic sparse->sparse unpooling (reference
+            # SpOperator.py:564-573) rides the host-precomputed row map:
+            # indexing.unpooling_ind(src_ind, tar_ind, self.dims)
+            return X.unpooling(self.dims, tarX, b2a=b2a)
         leftdim = [i for i in range(tarX.sparse_dim) if i not in self.dims]
         assert len(leftdim) == 1, "can only unpool from one kept dim"
         return tarX.unpooling_fromdense1dim(leftdim[0], X)

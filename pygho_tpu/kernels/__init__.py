@@ -14,9 +14,15 @@ from .fused_spspmm import (ChunkPlan, build_chunk_plan, build_spspmm_plans,
                            autotune_geometry, estimate_plan_cost,
                            fused_spspmm, fused_contract)
 from .fused_spmamm import build_spmamm_plans, spmamm_triples
+from .strip_spspmm import (StripPlan, build_strip_plan, strip_contract,
+                           build_spspmm_strip_plans, fused_spspmm_strip,
+                           autotune_strip_geoms, estimate_strip_cost)
 
 __all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
            "build_spspmm_plans_for", "autotune_spspmm_geoms",
            "autotune_geometry", "estimate_plan_cost",
            "fused_spspmm", "fused_contract",
-           "build_spmamm_plans", "spmamm_triples"]
+           "build_spmamm_plans", "spmamm_triples",
+           "StripPlan", "build_strip_plan", "strip_contract",
+           "build_spspmm_strip_plans", "fused_spspmm_strip",
+           "autotune_strip_geoms", "estimate_strip_cost"]

@@ -1,0 +1,619 @@
+"""Strip-aligned fused sparse contraction (Pallas TPU) — kernel v2.
+
+Same computation as kernels/fused_spspmm.py (the spspmm hot loop,
+reference backend/Spspmm.py:307-321):
+
+    out[t] += U[u] * V[v]    for triples (t, u, v), t sorted ascending
+
+The v1 kernel is bound at molecule scale by an intrinsic ~0.6 us
+per-chunk cost: each grid step runs a serial VPU->MXU->VPU->MXU chain of
+SMALL matmuls (gather-u, gather-v, multiply, scatter) whose pipeline
+drains dominate (BENCHMARKS.md round-1 calibration; the packed-kernel
+experiment proved G sequential _chunk_math calls per step do NOT
+amortize it).  v2 restructures the math so one grid step covers G
+sub-chunks with ONE batched MXU primitive per stage:
+
+- **Strip-aligned scatter**: sub-chunk g of a step holds only triples
+  whose targets fall in *strip* g of the step's output block (St rows,
+  S = G*St).  The scatter one-hot is then (G, St, C) batched —
+  per-triple scatter FLOPs drop from 2*S*D to 2*St*D (4x for St=128,
+  S=512) — and the batched result reshapes losslessly to the (S, D)
+  output block.
+- **Batched gathers**: operand windows are DMA'd contiguously into
+  (G, R, D) buffers, so gathers are single batched dot_generals
+  (G, C, R) @ (G, R, D') instead of G dependent small matmuls.
+- **Packed exact mode**: the 3-term bf16 decomposition of f32 operands
+  (kernels/fused_spspmm._split3) is packed along the feature dim —
+  (G, R, 3D) — so exact mode still issues ONE gather matmul per operand
+  (3x the lanes, not 3 dependent passes), plus a slice-sum on the VPU.
+
+The host planner rides the same C++ chunker as v1 (chunk_bounds_dyn2
+with the S window set to St gives strip-aligned sub-chunks directly)
+and packs sub-chunks into steps: slot g of a step carries the k-th
+sub-chunk of strip (oblk*G + g); strips needing more sub-chunks add
+revisit steps for the same block (the output BlockSpec accumulates).
+
+Numerics: identical contract to v1 — ``exact=True`` is f32-accurate
+(2^-24 relative) through bf16 MXU passes; ``exact=False`` is one
+bf16 pass per stage (training-grade).  Sum aggregation only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..backend.indexing import PAD_INDEX
+from .fused_spspmm import _pad_rows, _split3
+
+__all__ = ["StripPlan", "build_strip_plan", "strip_contract",
+           "build_spspmm_strip_plans", "fused_spspmm_strip",
+           "estimate_strip_cost", "autotune_strip_geoms"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StripPlan:
+    """Host-built execution plan for one strip-aligned contraction."""
+    tuv_local: jax.Array   # i32[n_steps, G, 3, C] strip/window-local (t,u,v)
+    ubase: jax.Array       # i32[n_steps, G] U window start rows
+    vbase: jax.Array       # i32[n_steps, G] V window start rows
+    oblk: jax.Array        # i32[n_steps] output block (S units), monotone
+    C: int
+    R: int
+    S: int                 # output block rows (= G * St)
+    St: int                # strip rows (scatter one-hot height)
+    Rv: int
+    out_rows: int
+    u_rows: int
+    v_rows: int
+    u_align: int = 1       # bf16 grouped-DMA alignment (see v1 ChunkPlan)
+    v_align: int = 1
+
+    @property
+    def G(self) -> int:
+        return self.S // self.St
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.oblk.shape[0])
+
+    @property
+    def n_chunks(self) -> int:  # v1-compat: total sub-chunk slots
+        return self.n_steps * self.G
+
+
+jax.tree_util.register_dataclass(
+    StripPlan,
+    data_fields=["tuv_local", "ubase", "vbase", "oblk"],
+    meta_fields=["C", "R", "S", "St", "Rv", "out_rows", "u_rows",
+                 "v_rows", "u_align", "v_align"],
+)
+
+try:  # jax.export serialization (parity with v1 plans)
+    import json as _json
+
+    from jax import export as _jexport
+
+    _jexport.register_pytree_node_serialization(
+        StripPlan,
+        serialized_name="pygho_tpu.kernels.StripPlan",
+        serialize_auxdata=lambda aux: _json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda b: tuple(_json.loads(bytes(b).decode())),
+    )
+except Exception:  # pragma: no cover
+    pass
+
+
+def build_strip_plan(
+    tuv: np.ndarray,
+    u_rows: int,
+    v_rows: int,
+    out_rows: int,
+    C: int = 320,
+    R: int = 384,
+    S: int = 512,
+    St: int = 128,
+    Rv: Optional[int] = None,
+    base_align: int = 16,
+    pad_steps_to: Optional[int] = None,
+) -> StripPlan:
+    """Cut strip-aligned sub-chunks and pack them into G-slot steps.
+
+    Sub-chunks come from the same greedy window chunker as v1
+    (native chunk_bounds_dyn2 / numpy fallback) with the output window
+    set to ``St`` — every sub-chunk's targets live inside one strip.
+    Step packing: block b's steps stack the k-th sub-chunks of its G
+    strips; empty slots carry the sentinel (t_loc = St, u/v_loc = R/Rv,
+    which gather zero and scatter nothing).
+    """
+    assert S % St == 0, (S, St)
+    G = S // St
+    Rv = R if Rv is None else Rv
+    tuv = np.asarray(tuv)
+    t, u, v = tuv[0], tuv[1], tuv[2]
+    K = int(np.sum(t < PAD_INDEX))
+    t = t[:K].astype(np.int64)
+    u = u[:K].astype(np.int64)
+    v = v[:K].astype(np.int64)
+    assert out_rows % S == 0, "out_rows must be a multiple of S"
+    assert u_rows >= R and v_rows >= Rv
+    # WITHIN a strip the triple order is free (the scatter one-hot
+    # places rows by t_loc, not position), so sort strip-major then by
+    # (u, v): each sub-chunk's u window is then minimal, which stops
+    # graph-boundary strips from fragmenting on the u range
+    order = np.lexsort((v, u, t // St))
+    t, u, v = t[order], u[order], v[order]
+    au = base_align if (base_align > 1 and R % base_align == 0
+                        and u_rows % base_align == 0) else 1
+    av = base_align if (base_align > 1 and Rv % base_align == 0
+                        and v_rows % base_align == 0) else 1
+    R_eff = R - (au - 1)
+    Rv_eff = Rv - (av - 1)
+
+    from .. import native as _native
+
+    host = _native.get()
+    if host is not None and K > 0 and hasattr(host, "chunk_bounds_dyn2"):
+        starts, ends, ubs, vbs, strips = host.chunk_bounds_dyn2(
+            np.ascontiguousarray(t), np.ascontiguousarray(u),
+            np.ascontiguousarray(v), C, R_eff, Rv_eff, St)
+        starts = starts.astype(np.int64)
+        ends = ends.astype(np.int64)
+        ubs = ubs.astype(np.int64)
+        vbs = vbs.astype(np.int64)
+        strips = strips.astype(np.int64)
+    else:
+        starts_l, ends_l, ubs_l, vbs_l, strips_l = [], [], [], [], []
+        start = 0
+        while start < K:
+            end_max = min(start + C, K)
+            sl = slice(start, end_max)
+            umin = np.minimum.accumulate(u[sl])
+            umax = np.maximum.accumulate(u[sl])
+            vmin = np.minimum.accumulate(v[sl])
+            vmax = np.maximum.accumulate(v[sl])
+            ok = ((umax - umin < R_eff) & (vmax - vmin < Rv_eff)
+                  & (t[sl] // St == t[start] // St))
+            bad = np.nonzero(~ok)[0]
+            end = start + (int(bad[0]) if len(bad) else (end_max - start))
+            assert end > start
+            starts_l.append(start)
+            ends_l.append(end)
+            ubs_l.append(int(u[start:end].min()))
+            vbs_l.append(int(v[start:end].min()))
+            strips_l.append(int(t[start] // St))
+            start = end
+        starts = np.asarray(starts_l, np.int64)
+        ends = np.asarray(ends_l, np.int64)
+        ubs = np.asarray(ubs_l, np.int64)
+        vbs = np.asarray(vbs_l, np.int64)
+        strips = np.asarray(strips_l, np.int64)
+
+    # align window bases down to the bf16-grouped-DMA grid and clamp so
+    # the window stays inside the padded operand (range < R_eff
+    # guarantees the aligned-down base still covers the sub-chunk)
+    ubs = np.minimum((ubs // au) * au, u_rows - R)
+    vbs = np.minimum((vbs // av) * av, v_rows - Rv)
+
+    n_sub = len(starts)
+    n_blocks = out_rows // S
+    blk_of = strips // G
+    slot_of = strips % G
+    # k-th sub-chunk of its strip (sub-chunks of one strip are
+    # consecutive in the chunker's output)
+    k_of = np.zeros(n_sub, np.int64)
+    if n_sub > 1:
+        same = strips[1:] == strips[:-1]
+        run = np.zeros(n_sub, np.int64)
+        for i in range(1, n_sub):  # short loop: n_sub ~ hundreds
+            run[i] = run[i - 1] + 1 if same[i - 1] else 0
+        k_of = run
+    # steps per block = max sub-chunks over its strips (>= 1: every
+    # block must be emitted once so untouched rows come out zero)
+    steps_per_blk = np.ones(n_blocks, np.int64)
+    if n_sub:
+        np.maximum.at(steps_per_blk, blk_of, k_of + 1)
+    blk_step_off = np.concatenate([[0], np.cumsum(steps_per_blk)[:-1]])
+    n_steps = int(steps_per_blk.sum())
+    if pad_steps_to is not None:
+        assert pad_steps_to >= n_steps, (pad_steps_to, n_steps)
+        n_steps_padded = pad_steps_to
+    else:
+        n_steps_padded = n_steps
+
+    tuv_local = np.zeros((n_steps_padded, G, 3, C), np.int32)
+    tuv_local[:, :, 0, :] = St   # sentinel: scatter one-hot all-zero
+    tuv_local[:, :, 1, :] = R    # sentinel: gather one-hot all-zero
+    tuv_local[:, :, 2, :] = Rv
+    ubase = np.zeros((n_steps_padded, G), np.int32)
+    vbase = np.zeros((n_steps_padded, G), np.int32)
+    oblk = np.zeros(n_steps_padded, np.int32)
+    # block ids for every step (padding steps repeat the last block)
+    ids = np.repeat(np.arange(n_blocks), steps_per_blk)
+    oblk[:n_steps] = ids
+    oblk[n_steps:] = n_blocks - 1 if n_blocks else 0
+
+    if n_sub:
+        step_of = blk_step_off[blk_of] + k_of
+        ubase[step_of, slot_of] = ubs
+        vbase[step_of, slot_of] = vbs
+        lens = ends - starts
+        cid = np.repeat(np.arange(n_sub), lens)
+        rows = np.concatenate([np.arange(s0, e0)
+                               for s0, e0 in zip(starts, ends)])
+        pos = np.arange(len(rows)) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        si, gi = step_of[cid], slot_of[cid]
+        tuv_local[si, gi, 0, pos] = (t[rows] - strips[cid] * St).astype(
+            np.int32)
+        tuv_local[si, gi, 1, pos] = (u[rows] - ubs[cid]).astype(np.int32)
+        tuv_local[si, gi, 2, pos] = (v[rows] - vbs[cid]).astype(np.int32)
+
+    return StripPlan(
+        tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
+        C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
+        u_rows=u_rows, v_rows=v_rows, u_align=au, v_align=av)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _batch_dot(a, b):
+    """(G, M, K) @ (G, K, N) -> (G, M, N) f32 batched matmul."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _pack3(x):
+    """f32 (..., D) -> bf16 (..., 3D): the 3-term decomposition packed
+    along the lanes so exact mode is ONE matmul instead of three."""
+    return jnp.concatenate(_split3(x), axis=-1)
+
+
+def _sum3(o):
+    D = o.shape[-1] // 3
+    return o[..., :D] + o[..., D:2 * D] + o[..., 2 * D:]
+
+
+def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
+    """One step's G sub-chunks as three batched MXU primitives.
+    tuv: (G, 3, C) i32; uw: (G, R, D); vw: (G, Rv, D).
+    Returns the (G*St, D) f32 contribution to the output block."""
+    import jax.lax as lax
+
+    G = tuv.shape[0]
+    t_loc, u_loc, v_loc = tuv[:, 0, :], tuv[:, 1, :], tuv[:, 2, :]
+
+    def gather(loc, w, width):
+        iota = lax.broadcasted_iota(jnp.int32, (G, C, width), 2)
+        oh = jnp.where(loc[:, :, None] == iota, 1.0, 0.0).astype(
+            jnp.bfloat16)
+        if exact and w.dtype != jnp.bfloat16:
+            return _sum3(_batch_dot(oh, _pack3(w)))
+        return _batch_dot(oh, w.astype(jnp.bfloat16))
+
+    prod = gather(u_loc, uw, R) * gather(v_loc, vw, Rv)   # (G, C, D) f32
+
+    iota_t = lax.broadcasted_iota(jnp.int32, (G, St, C), 1)
+    oh_t = jnp.where(t_loc[:, None, :] == iota_t, 1.0, 0.0).astype(
+        jnp.bfloat16)
+    if exact:
+        acc = _sum3(_batch_dot(oh_t, _pack3(prod)))
+    else:
+        acc = _batch_dot(oh_t, prod.astype(jnp.bfloat16))
+    return acc.reshape(G * St, -1)
+
+
+def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
+                  gu: int = 1, gv: int = 1):
+    """Double-buffered strip kernel: step i+1's 2G window DMAs are in
+    flight while step i computes.  ``gu``/``gv`` as in v1: bf16 operands
+    arrive as (rows/g, g, D) grouped views (untiled leading dim
+    sidesteps Mosaic's divisibility proof on dynamic bf16 slices)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = S // St
+
+    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, u_hbm, v_hbm,
+               o_ref, ubuf, vbuf, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def u_copy(step, buf, g):
+            src = (u_hbm.at[pl.ds(ubase_ref[step, g], R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ubase_ref[step, g] // gu, R // gu)])
+            return pltpu.make_async_copy(src, ubuf.at[buf, g],
+                                         sems.at[buf, g, 0])
+
+        def v_copy(step, buf, g):
+            src = (v_hbm.at[pl.ds(vbase_ref[step, g], Rv)] if gv == 1 else
+                   v_hbm.at[pl.ds(vbase_ref[step, g] // gv, Rv // gv)])
+            return pltpu.make_async_copy(src, vbuf.at[buf, g],
+                                         sems.at[buf, g, 1])
+
+        @pl.when(i == 0)
+        def _():
+            for g in range(G):
+                u_copy(0, 0, g).start()
+                v_copy(0, 0, g).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            nxt = jnp.minimum(i + 1, n - 1)
+            for g in range(G):
+                u_copy(nxt, (i + 1) % 2, g).start()
+                v_copy(nxt, (i + 1) % 2, g).start()
+
+        for g in range(G):
+            u_copy(i, i % 2, g).wait()
+            v_copy(i, i % 2, g).wait()
+
+        uw = ubuf[i % 2]
+        vw = vbuf[i % 2]
+        if gu > 1:
+            uw = uw.reshape(G, R, uw.shape[-1])
+        if gv > 1:
+            vw = vw.reshape(G, Rv, vw.shape[-1])
+        acc = _strip_math(tuv_ref[0], uw, vw, C, R, St, Rv, exact)
+
+        first = jnp.logical_or(
+            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
+                   interpret: Optional[bool] = None,
+                   exact: bool = True) -> jax.Array:
+    """Execute out[t] += U[u] * V[v] per ``plan`` (v2 kernel).
+    U: (plan.u_rows, D), V: (plan.v_rows, D); returns
+    (plan.out_rows, D) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
+    G = plan.G
+    D = U.shape[-1]
+    assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
+        "operands must be padded to the plan's row counts")
+
+    def grouping(x, align, win):
+        if x.dtype != jnp.bfloat16:
+            return x, 1
+        if align % 16 or win % 16:
+            return x.astype(jnp.float32), 1
+        return x[: (x.shape[0] // 16) * 16].reshape(-1, 16, x.shape[-1]), 16
+
+    U, gu = grouping(U, plan.u_align, R)
+    V, gv = grouping(V, plan.v_align, Rv)
+    if not interpret:
+        assert D % 128 == 0, (
+            f"strip kernel needs a feature dim that is a multiple of 128 "
+            f"(got {D}); use the XLA spspmm path for smaller dims")
+    n_steps = plan.n_steps
+    passes = 3 if exact else 1
+    flops = 2 * n_steps * G * passes * (C * R * D + C * Rv * D
+                                        + St * C * D)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=n_steps * G * (R + Rv + St) * D * 4,
+        transcendentals=0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((S, D),
+                               lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, R, D) if gu == 1 else
+                       (2, G, R // gu, gu, D), U.dtype),
+            pltpu.VMEM((2, G, Rv, D) if gv == 1 else
+                       (2, G, Rv // gv, gv, D), V.dtype),
+            pltpu.SemaphoreType.DMA((2, G, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(plan.ubase, plan.vbase, plan.oblk, plan.tuv_local, U, V)
+
+
+# ---------------------------------------------------------------------------
+# spspmm roles (forward + both gradients) and custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def normalize_strip_geom(g) -> Tuple[int, int, int, int, int]:
+    """Accept v1-style (C, R, S) / (C, R, S, Rv) geometries and fill
+    strip defaults: St = the largest 8-multiple divisor of S at S//4 or
+    coarser (G = 4 when it divides cleanly, else one strip per block)."""
+    g = tuple(int(x) for x in g)
+    if len(g) == 5:
+        return g
+    C, R, S = g[:3]
+    Rv = g[3] if len(g) == 4 else R
+    St = S // 4 if (S % 4 == 0 and (S // 4) % 8 == 0) else S
+    return (C, R, S, St, Rv)
+
+
+def build_spspmm_strip_plans(
+    acd: np.ndarray,
+    x_rows: int,
+    a_rows: int,
+    out_rows: int,
+    geoms: dict,
+    pad_steps_to: Optional[dict] = None,
+) -> Tuple[StripPlan, StripPlan, StripPlan]:
+    """(forward, dX, dA) strip plans from padded acd triples; ``geoms``
+    maps role -> (C, R, S, St, Rv).  Same role orderings as v1
+    build_spspmm_plans_for (kernels/fused_spspmm.py)."""
+    acd = np.asarray(acd)
+    a, c, d = acd[0], acd[1], acd[2]
+    real = a < PAD_INDEX
+    a, c, d = a[real], c[real], d[real]
+
+    def rup(n, m):
+        return max(((n + m - 1) // m) * m, m)
+
+    def mk(tuv, u_rows, v_rows, o_rows, g, pad):
+        C, R, S, St, Rv = normalize_strip_geom(g)
+        return build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
+                                rup(o_rows, S), C, R, S, St, Rv,
+                                pad_steps_to=pad)
+
+    pad = pad_steps_to or {}
+    # no pre-sorting needed: build_strip_plan orders (strip, u, v) itself
+    fwd = mk(np.stack([a, c, d]), x_rows, a_rows, out_rows,
+             geoms["fwd"], pad.get("fwd"))
+    g_rows = fwd.out_rows
+    dx = mk(np.stack([c, a, d]), g_rows, a_rows, x_rows,
+            geoms["dx"], pad.get("dx"))
+    da = mk(np.stack([d, c, a]), x_rows, g_rows, a_rows,
+            geoms["da"], pad.get("da"))
+    return fwd, dx, da
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_spspmm_strip(Xv: jax.Array, Av: jax.Array, fwd: StripPlan,
+                       dxp: StripPlan, dap: StripPlan,
+                       interpret: Optional[bool] = None,
+                       exact: bool = True) -> jax.Array:
+    """Differentiable strip-kernel spspmm: out[a] = sum_cd X[c] * A[d].
+    Drop-in for kernels.fused_spspmm with StripPlans."""
+    return strip_contract(_pad_rows(Xv, fwd.u_rows),
+                          _pad_rows(Av, fwd.v_rows), fwd,
+                          interpret=interpret, exact=exact)
+
+
+def _plan_zeros(plan: StripPlan):
+    return jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), plan)
+
+
+def _fwd_rule(Xv, Av, fwd, dxp, dap, interpret, exact):
+    out = fused_spspmm_strip(Xv, Av, fwd, dxp, dap, interpret, exact)
+    return out, (Xv, Av, fwd, dxp, dap)
+
+
+def _bwd_rule(interpret, exact, res, g):
+    Xv, Av, fwd, dxp, dap = res
+    g = g.astype(jnp.float32)
+    dX = strip_contract(_pad_rows(g, dxp.u_rows),
+                        _pad_rows(Av, dxp.v_rows), dxp,
+                        interpret=interpret, exact=exact)[: Xv.shape[0]]
+    dA = strip_contract(_pad_rows(Xv, dap.u_rows),
+                        _pad_rows(g, dap.v_rows), dap,
+                        interpret=interpret, exact=exact)[: Av.shape[0]]
+    return (dX.astype(Xv.dtype), dA.astype(Av.dtype),
+            _plan_zeros(fwd), _plan_zeros(dxp), _plan_zeros(dap))
+
+
+fused_spspmm_strip.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# cost model + geometry autotuning
+# ---------------------------------------------------------------------------
+
+from .fused_spspmm import (_MXU_FLOPS, _VPU_RATE, _HBM_BW)  # noqa: E402
+
+# per-step fixed cost: one batched primitive per stage means the v1
+# per-chunk drain happens per STEP here.  Calibrated 2026-08-19 against
+# an 8-geometry sweep on the ZINC fwd workload (measured 1.96-2.9
+# us/step exact; the pure-MXU estimate at 165 TF/s tracked measurements
+# within tunnel noise with ~0.4 us residual per step)
+_STEP_FIXED = 0.4e-6
+
+
+def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
+                        itemsize: int = 4) -> float:
+    """Calibrated time estimate (seconds) for one strip_contract launch."""
+    C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
+    G = plan.G
+    n = plan.n_steps
+    passes = 3 if exact else 1
+    mxu = passes * G * (2 * C * (R + Rv) * D + 2 * St * C * D) / _MXU_FLOPS
+    vpu = G * (C * (R + Rv) + St * C) / _VPU_RATE
+    t_comp = mxu + vpu
+    t_dma = G * (R + Rv) * D * itemsize / _HBM_BW
+    total = n * (max(t_comp, t_dma) + _STEP_FIXED)
+    total += plan.out_rows * D * itemsize / _HBM_BW
+    total += n * G * (3 * C + 16) * 4 / _HBM_BW
+    return total
+
+
+# (C, R, S, St, Rv) candidates; G = S // St.  Measured guidance
+# (2026-08-19 ZINC sweep): R/Rv should stay MXU-tile multiples of 128
+# (R=192 measured slower than R=256 despite fewer FLOPs); the molecule
+# sweet spot is C=256-320, R=256, St=128.  Wider R entries cover
+# giant-graph locality; 1024-blocks cover big outputs.
+_STRIP_GEOMS = (
+    (256, 256, 512, 128, 128),
+    (320, 256, 512, 128, 128),
+    (256, 128, 512, 128, 128),
+    (256, 256, 512, 128, 64),
+    (384, 384, 512, 128, 128),
+    (512, 512, 1024, 256, 256),
+    (256, 512, 512, 128, 128),
+    (512, 768, 512, 128, 128),
+    (512, 1024, 1024, 256, 1024),
+)
+
+
+def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
+                         out_rows: int, D: int = 128, exact: bool = True,
+                         candidates=None) -> dict:
+    """Per-role strip geometry by building REAL plans per candidate and
+    scoring with estimate_strip_cost (mirrors v1 autotune_spspmm_geoms)."""
+    acd = np.asarray(acd)
+    a, c, d = acd[0], acd[1], acd[2]
+    real = a < PAD_INDEX
+    a, c, d = a[real], c[real], d[real]
+
+    def rup(n, m):
+        return max(((n + m - 1) // m) * m, m)
+
+    def tune(tuv, u_rows, v_rows, o_rows):
+        best = None
+        for g in candidates or _STRIP_GEOMS:
+            C, R, S, St, Rv = g
+            plan = build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
+                                    rup(o_rows, S), C, R, S, St, Rv)
+            cost = estimate_strip_cost(plan, D, exact)
+            if best is None or cost < best[1]:
+                best = (g, cost)
+        return best[0]
+
+    g_fwd = tune(np.stack([a, c, d]), x_rows, a_rows, out_rows)
+    g_rows = rup(out_rows, g_fwd[2])
+    g_dx = tune(np.stack([c, a, d]), g_rows, a_rows, x_rows)
+    g_da = tune(np.stack([d, c, a]), x_rows, g_rows, a_rows)
+    return {"fwd": g_fwd, "dx": g_dx, "da": g_da}

@@ -201,7 +201,11 @@ class SpModel(nnx.Module):
             return X.tuplewiseapply(lambda v: t0 * t1 * t2 * v)
         return X.tuplewiseapply(lambda v: t0 * t1 * v)
 
-    def __call__(self, datadict: Dict) -> jax.Array:
+    def encode_init(self, datadict: Dict):
+        """Stage-0 prologue: encoder + dtype cast + tupleinit.  Returns
+        (datadict, A, X) — the inputs every conv layer consumes.  Split
+        out of __call__ so pipeline parallelism can stage the conv stack
+        (parallel/pipeline.py make_model_pipeline_step)."""
         datadict = self.data_encoder(datadict)
         A: SparseTensor = datadict["A"]
         X: SparseTensor = datadict["X"]
@@ -213,13 +217,11 @@ class SpModel(nnx.Module):
                             else A.values.astype(self.dtype))
             X = _dc.replace(X, values=X.values.astype(self.dtype))
         X = self.tupleinit(X, x)
-        for conv in self.subggnns:
-            if self.remat:
-                tX = nnx.remat(
-                    lambda c, A, X, dd: c(A, X, dd))(conv, A, X, datadict)
-            else:
-                tX = conv(A, X, datadict)
-            X = X.add(tX, True) if self.residual else tX
+        return datadict, A, X
+
+    def readout(self, X: SparseTensor, datadict: Dict) -> jax.Array:
+        """Last-stage epilogue: subgraph pool + node MLP + graph pool +
+        prediction head."""
         if self.is3d:
             X2 = self.lpool3(X, datadict)
             xs = self.lpool2(X2)
@@ -232,7 +234,49 @@ class SpModel(nnx.Module):
                                  self.npool, indices_are_sorted=True)
         return self.pred_lin(h_graph).astype(jnp.float32)
 
+    def __call__(self, datadict: Dict) -> jax.Array:
+        datadict, A, X = self.encode_init(datadict)
+        for conv in self.subggnns:
+            if self.remat:
+                tX = nnx.remat(
+                    lambda c, A, X, dd: c(A, X, dd))(conv, A, X, datadict)
+            else:
+                tX = conv(A, X, datadict)
+            X = X.add(tX, True) if self.residual else tX
+        return self.readout(X, datadict)
+
     forward = __call__
+
+
+class SpPipelineTrunk(nnx.Module):
+    """The replicated (non-staged) part of an :class:`SpModel` for
+    pipeline parallelism: encoder, tupleinit, pools, heads — everything
+    but the conv stack, sharing the SAME parameter objects as the source
+    model, so ``nnx.split(trunk)`` yields a state pytree without any
+    conv weights (those are stage-sharded separately)."""
+
+    def __init__(self, model: SpModel):
+        self.data_encoder = model.data_encoder
+        self.lin_tupleinit0 = model.lin_tupleinit0
+        self.lin_tupleinit1 = model.lin_tupleinit1
+        self.is3d = model.is3d
+        if model.is3d:
+            self.lin_tupleinit2 = model.lin_tupleinit2
+            self.lpool3 = model.lpool3
+            self.lpool2 = model.lpool2
+        else:
+            self.lpool = model.lpool
+        self.poolmlp = model.poolmlp
+        self.pred_lin = model.pred_lin
+        self.npool = model.npool
+        self.dtype = model.dtype
+        self.residual = model.residual
+
+    # same prologue/epilogue logic as the full model (duck-typed: these
+    # unbound methods only touch attributes the trunk carries)
+    tupleinit = SpModel.tupleinit
+    encode_init = SpModel.encode_init
+    readout = SpModel.readout
 
 
 class MaModel(nnx.Module):

@@ -36,7 +36,9 @@ from .giant import (build_giant_graph_plan, init_giant_params,
 from .tensor_parallel import (tp_state_shardings, make_tp_train_step,
                               make_tp_eval_step)
 from .pipeline import (build_pipeline_plan, init_pipeline_params,
-                       make_pipeline_step)
+                       make_pipeline_step, make_model_pipeline_step,
+                       split_conv_stages, merge_conv_stages,
+                       reference_model_pipeline_loss)
 
 __all__ = [
     "make_mesh", "collate_sharded_sparse", "make_dp_train_step",
@@ -53,4 +55,6 @@ __all__ = [
     "build_giant_graph_plan", "init_giant_params", "make_giant_graph_step",
     "tp_state_shardings", "make_tp_train_step", "make_tp_eval_step",
     "build_pipeline_plan", "init_pipeline_params", "make_pipeline_step",
+    "make_model_pipeline_step", "split_conv_stages",
+    "merge_conv_stages", "reference_model_pipeline_loss",
 ]

@@ -708,3 +708,76 @@ def test_dense_converter_parity(rng):
     assert np.array_equal(np.asarray(ot2.mask), rm2)
     assert maxdiff(np.asarray(ot2.fill_masked(0.0))[rm2],
                    rt2.data.numpy()[rm2]) < TOL
+
+
+def test_add_union_parity(rng):
+    """add(samesparse=False) via the host union plan matches the
+    reference's eager concat+coalesce (SpTensor.py:507-514)."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    # two different patterns over the same shape
+    indA, indB = edges, tup
+    va = rng.normal(size=(indA.shape[1], d)).astype(np.float32)
+    vb = rng.normal(size=(indB.shape[1], d)).astype(np.float32)
+
+    refA = RefSparse(torch.tensor(indA), torch.tensor(va), (n, n, d))
+    refB = RefSparse(torch.tensor(indB), torch.tensor(vb), (n, n, d))
+    refO = refA.add(refB, samesparse=False)
+
+    A = SparseTensor.from_numpy(indA, va, (n, n), nnz_pad=512)
+    B = SparseTensor.from_numpy(indB, vb, (n, n), nnz_pad=512)
+    plan = indexing.union_ind(indA, indB)
+    out = A.add(B, samesparse=False, union=plan)
+    # index parity
+    nz = int(out.nnz)
+    assert np.array_equal(np.asarray(out.indices)[:, :nz],
+                          refO.indices.numpy())
+    assert maxdiff(np.asarray(out.values)[:nz],
+                   refO.values.numpy()) < TOL
+
+
+def test_sparse_diag_parity(rng):
+    """diag(return_sparse=True) via diag_ind matches the reference's
+    _diag_to_sparse intent: diagonal entries on the reduced pattern."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    # add the full diagonal to the tuple pattern so there is one
+    tup2 = np.concatenate([tup, np.stack([np.arange(n)] * 2)], axis=1)
+    order = np.lexsort((tup2[1], tup2[0]))
+    tup2 = np.unique(tup2[:, order], axis=1)
+    v = rng.normal(size=(tup2.shape[1], d)).astype(np.float32)
+    X = SparseTensor.from_numpy(tup2, v, (n, n), nnz_pad=512)
+    pat = indexing.diag_ind(tup2)
+    out = X.diag(return_sparse=True, diag_pattern=pat)
+    # oracle: entries at (i, i)
+    on = tup2[0] == tup2[1]
+    assert int(out.nnz) == int(on.sum())
+    nz = int(out.nnz)
+    assert np.array_equal(np.asarray(out.indices)[0, :nz], tup2[0][on])
+    assert maxdiff(np.asarray(out.values)[:nz], v[on]) < TOL
+    # and it matches the dense diag on the same rows
+    dd = np.asarray(X.diag_to_dense())
+    assert maxdiff(np.asarray(out.values)[:nz], dd[tup2[0][on]]) < TOL
+
+
+def test_sparse_unpooling_parity(rng):
+    """Generic sparse->sparse unpooling via unpooling_ind matches the
+    reference's unpooling (SpTensor.py:447-468)."""
+    edges, Aval, tup, Xval, n, d = _instance(rng)
+    # src: per-node sparse vector (pattern = diagonal-ish subset)
+    src_ind = np.unique(tup[0])[None, :]      # (1, m) sorted
+    sv = rng.normal(size=(src_ind.shape[1], d)).astype(np.float32)
+
+    refS = RefSparse(torch.tensor(src_ind), torch.tensor(sv), (n, d))
+    refT = RefSparse(torch.tensor(tup),
+                     torch.tensor(np.zeros((tup.shape[1], d), np.float32)),
+                     (n, n, d))
+    refO = refS.unpooling(1, refT)            # broadcast along dim 1 of tar
+
+    S = SparseTensor.from_numpy(src_ind, sv, (n,), nnz_pad=128)
+    T = SparseTensor.from_numpy(tup, np.zeros((tup.shape[1], d), np.float32),
+                                (n, n), nnz_pad=512)
+    b2a = indexing.unpooling_ind(src_ind, np.asarray(T.indices), dims=[1])
+    out = S.unpooling([1], T, b2a=jnp.asarray(b2a))
+    nz = int(out.nnz)
+    assert np.array_equal(np.asarray(out.indices)[:, :nz],
+                          refO.indices.numpy())
+    assert maxdiff(np.asarray(out.values)[:nz], refO.values.numpy()) < TOL
