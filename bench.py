@@ -249,6 +249,22 @@ def main():
         f"{dd_rows_per_s / 1e9:.3f} G equiv rows/s "
         f"(padded dense FLOPs {2 * Bsz * n_pad**3 * D / 1e9:.1f} GFLOP)")
 
+    # ---- dense DD train step (PPGN family hot path) ----------------------
+    from pygho_tpu.models import make_ma_model
+    from pygho_tpu.models.training import make_dense_steps
+
+    ma_model = make_ma_model("PPGN", num_layer=2, hiddim=D,
+                             mlp={"norm": "bn", "act": "silu"})
+    ma_opt = make_optimizer(ma_model, 1e-3)
+    ma_train, _ = make_dense_steps()
+    float(ma_train(ma_model, ma_opt, mbatch))   # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        lma = ma_train(ma_model, ma_opt, mbatch)
+    float(lma)
+    dd_step_dt = (time.perf_counter() - t0 - base_rtt2) / 10
+    log(f"dense DD train step (PPGN x2): {dd_step_dt * 1e3:.1f} ms")
+
     # ---- full train step (python-dispatched; state chains the steps) ----
     opt = make_optimizer(model, 1e-3)
     train_step, _ = make_sparse_steps()
@@ -351,6 +367,7 @@ def main():
             "sddmm_vs_own_roofline": sddmm_rows / sddmm_roof,
             "dense_dd_ms": dt_dd * 1e3,
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
+            "dense_dd_train_step_ms": dd_step_dt * 1e3,
             "train_step_ms": step_dt * 1e3,
             "train_step_fused_bf16_ms": fstep_dt * 1e3,
             "train_step_chained_ms": cstep["xla"] * 1e3,

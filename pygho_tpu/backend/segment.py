@@ -68,15 +68,31 @@ def segment_softmax(
     seg_ids: jax.Array,
     num_segments: int,
     indices_are_sorted: bool = True,
+    stable: str = "segment",
 ) -> jax.Array:
     """Per-segment softmax over rows — building block for attention-style
     message functions (the reference enables subgraph GAT through spspmpnn's
-    message_func, docs/BasicOperators.md:75-83)."""
-    m = jax.ops.segment_max(
-        src, seg_ids, num_segments, indices_are_sorted=indices_are_sorted)
-    m = jnp.where(jnp.isneginf(m), jnp.zeros_like(m), m)
-    shifted = src - m[seg_ids]
-    e = jnp.exp(shifted)
+    message_func, docs/BasicOperators.md:75-83).
+
+    ``stable`` picks the overflow shift: "segment" (default) subtracts
+    the per-segment max — the torch-convention, safe for any input
+    range; "global" subtracts the per-column global max — the SAME
+    softmax mathematically (any within-segment-constant shift cancels),
+    but it replaces the expensive segment_max scatter + gather-back with
+    one column reduce: measured 0.50 vs 1.14 ms on a (65k, 128) ZINC
+    attention batch on v5e (segment scatter-max lowers ~2x slower than
+    scatter-add).  Trade-off: entries more than ~80 below the column max
+    underflow to exp(.) = 0 — fine for activations-derived attention
+    scores, wrong for wild dynamic ranges."""
+    if stable == "global":
+        m = jax.lax.stop_gradient(jnp.max(src, axis=0, keepdims=True))
+        e = jnp.exp(src - jnp.where(jnp.isfinite(m), m, 0.0))
+    else:
+        m = jax.ops.segment_max(
+            src, seg_ids, num_segments,
+            indices_are_sorted=indices_are_sorted)
+        m = jnp.where(jnp.isneginf(m), jnp.zeros_like(m), m)
+        e = jnp.exp(src - m[seg_ids])
     denom = jax.ops.segment_sum(
         e, seg_ids, num_segments, indices_are_sorted=indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)

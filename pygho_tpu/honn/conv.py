@@ -232,7 +232,7 @@ class NGATConv(nnx.Module):
 
     def __call__(self, A: SparseTensor, X: SparseTensor,
                  datadict: Dict) -> SparseTensor:
-        from ..backend.segment import segment_softmax
+        from ..backend.segment import segment_reduce, segment_softmax
         from ..backend.spspmm import spspmpnn
         from .sp_operator import KEYSEP
 
@@ -272,9 +272,20 @@ class NGATConv(nnx.Module):
                       get_fused_math())[:K_pad]
             tgt = jnp.minimum(acd[0], nseg - 1)
             score = s12 * a2[tgt]
-            alpha = segment_softmax(score, acd[0], nseg)
-            out = run(a3, alpha.astype(a3.dtype), *agg_plans, None,
+            # softmax, restructured: (a) global-column shift — the same
+            # softmax (any within-segment-constant shift cancels) but
+            # one column reduce instead of the 2x-slower scatter-max +
+            # gather-back; (b) the 1/denominator is applied AFTER the
+            # aggregate (denom is constant per segment), so alpha never
+            # materializes as a (K, D) array
+            m = jnp.max(jax.lax.stop_gradient(score), axis=0,
+                        keepdims=True)
+            e = jnp.exp(score - jnp.where(jnp.isfinite(m), m, 0.0))
+            denom = segment_reduce(e, acd[0], nseg, "sum",
+                                   indices_are_sorted=True)
+            out = run(a3, e.astype(a3.dtype), *agg_plans, None,
                       get_fused_math())[:nseg]
+            out = out / jnp.maximum(denom, 1e-16)
             return SparseTensor(indices=tX.indices,
                                 values=out.astype(tX.values.dtype),
                                 nnz=tX.nnz, sparse_shape=tX.sparse_shape)

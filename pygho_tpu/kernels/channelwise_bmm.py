@@ -91,15 +91,38 @@ def channelwise_bmm(A: jax.Array, X: jax.Array,
     return _cw_bmm_raw(A, X, interpret)
 
 
+# Training-path mode: False (default) keeps the einsum primal+backward
+# (XLA shares the (b, d, n, n) relayouts across the three contractions);
+# True runs the Pallas kernel for the primal AND both gradients (the
+# gradients are themselves channel-wise bmms of n-transposed operands,
+# and the (n, n) swap keeps d on the lanes — no (b, d, n, n) relayout).
+_TRAIN_KERNEL = False
+
+
+def set_cw_train_kernel(on: bool) -> None:
+    global _TRAIN_KERNEL
+    _TRAIN_KERNEL = bool(on)
+
+
 def _cw_fwd(A, X, interpret):
-    # under differentiation: einsum primal so XLA shares the (b, d, n, n)
-    # relayouts with the two gradient einsums below
+    if _TRAIN_KERNEL:
+        return _cw_bmm_raw(A, X, interpret), (A, X)
+    # einsum primal so XLA shares the (b, d, n, n) relayouts with the
+    # two gradient einsums below
     return _cw_einsum(A, X), (A, X)
 
 
 def _cw_bwd(interpret, res, g):
     A, X = res
     g = g.astype(jnp.float32)
+    if _TRAIN_KERNEL:
+        # dA[b,i,k,d] = sum_j g[b,i,j,d] X[b,k,j,d]  = cw(g, X^T)
+        # dX[b,k,j,d] = sum_i A[b,i,k,d] g[b,i,j,d]  = cw(A^T, g)
+        dA = _cw_bmm_raw(g, X.astype(jnp.float32).swapaxes(1, 2),
+                         interpret)
+        dX = _cw_bmm_raw(A.astype(jnp.float32).swapaxes(1, 2), g,
+                         interpret)
+        return dA.astype(A.dtype), dX.astype(X.dtype)
     dA = jnp.einsum("bijd,bkjd->bikd", g, X.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     dX = jnp.einsum("bikd,bijd->bkjd", A.astype(jnp.float32), g,

@@ -738,3 +738,87 @@ def test_model_pipeline_matches_single_device():
     merge_conv_stages(model2, new_params["conv"])
     loss_merged = float(reference_model_pipeline_loss(model2, sbatch))
     assert abs(loss_merged - loss_pp_after) < 1e-5
+
+
+def test_strategy_chooser_at_giant_scale():
+    """Scale-stress (VERDICT r1 #8): run the partitioned-spspmm chooser
+    and the v3/v4/v5/v6 strategies on the 8-dev CPU mesh at >=100k
+    tuples (community-structured giant graph), where the crossover
+    logic actually matters.  Every strategy must agree with the
+    single-device contraction."""
+    from pygho_tpu.hodata.graph import Graph, rcm_reorder
+    from pygho_tpu.parallel import choose_partitioned_spspmm
+    from pygho_tpu.parallel.tuple_parallel import (
+        plan_exchange_volumes,
+        build_overlapped_shard_plan, make_overlapped_spspmm,
+        build_scatter_shard_plan, make_scatter_spspmm,
+        build_ring_shard_plan, make_ring_spspmm,
+        build_reduce_scatter_shard_plan, make_reduce_scatter_spspmm)
+
+    rng = np.random.default_rng(0)
+    communities, csize = 64, 250
+    n = communities * csize
+    edges = []
+    for ci in range(communities):
+        base = ci * csize
+        u = rng.integers(0, csize, csize * 3) + base
+        v = rng.integers(0, csize, csize * 3) + base
+        edges.append(np.stack([u, v]))
+        u2 = rng.integers(0, csize, 3) + base
+        v2 = rng.integers(0, csize, 3) + \
+            ((ci + 1) % communities) * csize
+        edges.append(np.stack([u2, v2]))
+    ei = np.concatenate(edges, axis=1)
+    ei = np.concatenate([ei, ei[::-1]], axis=1)
+    g = rcm_reorder(Graph(x=np.zeros((n, 1), np.int64), edge_index=ei,
+                          edge_attr=None).coalesced())
+    ii = np.concatenate([np.arange(n), g.edge_index[0]])
+    jj = np.concatenate([np.arange(n), g.edge_index[1]])
+    tup, _ = indexing.coalesce(np.stack([ii, jj]))
+    assert tup.shape[1] >= 100_000, tup.shape
+    tar, bcd = indexing.spspmm_ind(tup, 1, g.edge_index, 0)
+    acd = indexing.filterind(tup, tar, bcd)
+
+    P = 8
+    d = 8
+    nnz_pad = ((indexing.bucket_size(tup.shape[1]) + P - 1) // P) * P
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
+    Xv = rng.normal(size=(nnz_pad, d)).astype(np.float32)
+    Av = rng.normal(size=(g.num_edges, d)).astype(np.float32)
+    X = SparseTensor(jnp.asarray(indexing.pad_indices(tup, nnz_pad)),
+                     jnp.asarray(Xv),
+                     jnp.asarray(tup.shape[1], jnp.int32), (n, n))
+    A = SparseTensor(jnp.asarray(
+        indexing.pad_indices(g.edge_index, g.num_edges)),
+        jnp.asarray(Av), jnp.asarray(g.num_edges, jnp.int32), (n, n))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((P,), ("sp",))
+    vols = plan_exchange_volumes(acd_p, nnz_pad, P)
+    # at this scale the numbers must be meaningfully distinct and the
+    # chooser must pick the smallest-volume fitting strategy
+    run, name, vols2 = choose_partitioned_spspmm(mesh, acd_p, nnz_pad)
+    assert vols2 == vols
+    best = min(("reduce_scatter", "overlapped", "scatter"),
+               key=lambda k: (vols[k], {"reduce_scatter": 0,
+                                        "overlapped": 1, "scatter": 2}[k]))
+    assert name == best, (name, vols)
+    got = run(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-4
+
+    # every strategy agrees at scale
+    for build, make in (
+            (build_overlapped_shard_plan, make_overlapped_spspmm),
+            (build_scatter_shard_plan, make_scatter_spspmm),
+            (build_ring_shard_plan, make_ring_spspmm),
+            (build_reduce_scatter_shard_plan,
+             make_reduce_scatter_spspmm)):
+        plan = build(acd_p, nnz_pad, P)
+        out = make(mesh, plan)(X.values, A.values)
+        assert maxdiff(out, ref.values) < 1e-4
+
+    # cap forces the ring fallback
+    run_r, name_r, _ = choose_partitioned_spspmm(
+        mesh, acd_p, nnz_pad, max_boundary_rows=1)
+    assert name_r == "ring"
+    assert maxdiff(run_r(X.values, A.values), ref.values) < 1e-4
