@@ -411,6 +411,13 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
         assert D % 128 == 0, (
             f"strip kernel needs a feature dim that is a multiple of 128 "
             f"(got {D}); use the XLA spspmm path for smaller dims")
+        vmem = estimate_strip_vmem((C, R, S, St, Rv), D, exact)
+        assert vmem <= _VMEM_BUDGET, (
+            f"strip geometry (C={C}, R={R}, S={S}, St={St}, Rv={Rv}) "
+            f"needs ~{vmem / 1e6:.0f} MB VMEM (> {_VMEM_BUDGET / 1e6:.0f}"
+            f" MB budget) at D={D} — Mosaic would exhaust VMEM; pick a "
+            f"narrower window / smaller G = S//St (autotune_strip_geoms "
+            f"filters candidates automatically)")
     n_steps = plan.n_steps
     passes = 3 if exact else 1
     flops = 2 * n_steps * G * passes * (C * R * D + C * Rv * D
@@ -573,8 +580,9 @@ def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
 # (C, R, S, St, Rv) candidates; G = S // St.  Measured guidance
 # (2026-08-19 ZINC sweep): R/Rv should stay MXU-tile multiples of 128
 # (R=192 measured slower than R=256 despite fewer FLOPs); the molecule
-# sweet spot is C=256-320, R=256, St=128.  Wider R entries cover
-# giant-graph locality; 1024-blocks cover big outputs.
+# sweet spot is C=256-320, R=256, St=128.  Wider-R entries cover
+# giant-graph locality at G=2/G=1 so their VMEM footprint stays under
+# the budget (see estimate_strip_vmem).
 _STRIP_GEOMS = (
     (256, 256, 512, 128, 128),
     (320, 256, 512, 128, 128),
@@ -583,9 +591,35 @@ _STRIP_GEOMS = (
     (384, 384, 512, 128, 128),
     (512, 512, 1024, 256, 256),
     (256, 512, 512, 128, 128),
-    (512, 768, 512, 128, 128),
-    (512, 1024, 1024, 256, 1024),
+    (256, 512, 256, 128, 256),
+    (384, 768, 256, 128, 384),
+    (512, 1024, 128, 128, 512),
 )
+
+# per-launch VMEM budget for the CONSERVATIVE estimator below (which
+# over-counts vs what Mosaic actually materializes: geometries
+# estimated at 13-14 MB compile and run on the 16 MB v5e; the observed
+# crasher estimated 49 MB).  16 MB rejects the true monsters while
+# keeping every hardware-validated geometry.
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def estimate_strip_vmem(geom, D: int, exact: bool = True,
+                        itemsize: int = 4) -> int:
+    """Conservative VMEM bytes for one strip_contract launch — used to
+    reject geometries that would crash the Mosaic compiler (observed:
+    (512, 1024, 1024, 256, 1024) at D=128 exhausts the 16 MB VMEM with
+    register-allocator spills)."""
+    C, R, S, St, Rv = normalize_strip_geom(geom)
+    G = S // St
+    win = 2 * G * (R + Rv) * D * itemsize          # double-buffered windows
+    tuv = 2 * G * 3 * C * 4                        # block double buffer
+    onehot = G * C * (R + Rv) * (2 + 4)            # bf16 one-hot + i32 iota
+    oh_t = G * St * C * (2 + 4)
+    packs = (G * (R + Rv) * 3 * D * 2 + G * C * 3 * D * 2) if exact else 0
+    inter = 3 * G * C * D * 4                      # gathered u/v + product
+    out = 2 * S * D * 4
+    return win + tuv + onehot + oh_t + packs + inter + out
 
 
 def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
@@ -603,7 +637,12 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
 
     def tune(tuv, u_rows, v_rows, o_rows):
         best = None
-        for g in candidates or _STRIP_GEOMS:
+        pool = [g for g in (candidates or _STRIP_GEOMS)
+                if estimate_strip_vmem(g, D, exact) <= _VMEM_BUDGET]
+        if not pool:  # degenerate D: take the smallest-footprint entry
+            pool = [min(candidates or _STRIP_GEOMS,
+                        key=lambda g: estimate_strip_vmem(g, D, exact))]
+        for g in pool:
             C, R, S, St, Rv = g
             plan = build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
                                     rup(o_rows, S), C, R, S, St, Rv)

@@ -711,3 +711,34 @@ def test_fused_ngat_attention_matches_xla(rng):
     g2 = jax.tree.leaves(jax.grad(loss)(state, bx))
     for a, b in zip(g1, g2):
         assert maxdiff(a, b) < 2e-4
+
+
+def test_strip_vmem_guard_and_geom_normalizer():
+    """The VMEM estimator rejects the observed Mosaic crasher geometry,
+    keeps every hardware-validated one, and the autotuner only returns
+    in-budget geometries; normalize_strip_geom fills v1-style tuples."""
+    from pygho_tpu.kernels.strip_spspmm import (estimate_strip_vmem,
+                                                normalize_strip_geom,
+                                                autotune_strip_geoms,
+                                                _VMEM_BUDGET)
+
+    # observed crasher (giant-graph autotune pick before the guard)
+    assert estimate_strip_vmem((512, 1024, 1024, 256, 1024), 128,
+                               True) > _VMEM_BUDGET
+    # hardware-validated geometries stay in budget
+    for g in ((256, 256, 512, 128, 128), (320, 256, 512, 128, 128)):
+        assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
+    assert normalize_strip_geom((128, 256, 128)) == (128, 256, 128, 32,
+                                                     256)
+    assert normalize_strip_geom((256, 256, 512, 64)) == (256, 256, 512,
+                                                         128, 64)
+    # autotune output respects the budget even on adversarial triples
+    rng = np.random.default_rng(0)
+    K = 8192
+    t = np.sort(rng.integers(0, 4096, K))
+    u = rng.integers(0, 8192, K)
+    v = rng.integers(0, 8192, K)
+    geoms = autotune_strip_geoms(np.stack([t, u, v]), 8192, 8192, 4096,
+                                 D=128)
+    for g in geoms.values():
+        assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
