@@ -62,7 +62,7 @@ class StripPlan:
     """Host-built execution plan for one strip-aligned contraction."""
     tuv_local: jax.Array   # i32[n_steps, G, 3, C] strip/window-local (t,u,v)
     ubase: jax.Array       # i32[n_steps, G] U window start rows
-    vbase: jax.Array       # i32[n_steps, G] V window start rows
+    vbase: jax.Array       # i32[n_steps, G, Gv] V sub-window start rows
     oblk: jax.Array        # i32[n_steps] output block (S units), monotone
     C: int
     R: int
@@ -74,6 +74,11 @@ class StripPlan:
     v_rows: int
     u_align: int = 1       # bf16 grouped-DMA alignment (see v1 ChunkPlan)
     v_align: int = 1
+    # v operand sub-windows per sub-chunk: the (Rv, D) window buffer is
+    # filled by Gv disjoint (Rv/Gv, D) DMAs with host-remapped local
+    # indices — same one-hot FLOPs, Gv x the effective index span
+    # (giant-graph edge windows; see BENCHMARKS "locality limits")
+    Gv: int = 1
 
     @property
     def G(self) -> int:
@@ -92,7 +97,7 @@ jax.tree_util.register_dataclass(
     StripPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk"],
     meta_fields=["C", "R", "S", "St", "Rv", "out_rows", "u_rows",
-                 "v_rows", "u_align", "v_align"],
+                 "v_rows", "u_align", "v_align", "Gv"],
 )
 
 try:  # jax.export serialization (parity with v1 plans)
@@ -122,6 +127,7 @@ def build_strip_plan(
     Rv: Optional[int] = None,
     base_align: int = 16,
     pad_steps_to: Optional[int] = None,
+    Gv: int = 1,
 ) -> StripPlan:
     """Cut strip-aligned sub-chunks and pack them into G-slot steps.
 
@@ -149,6 +155,10 @@ def build_strip_plan(
     # graph-boundary strips from fragmenting on the u range
     order = np.lexsort((v, u, t // St))
     t, u, v = t[order], u[order], v[order]
+    if Gv > 1:
+        return _build_strip_plan_multiv(
+            t, u, v, u_rows, v_rows, out_rows, C, R, S, St, Rv,
+            base_align, pad_steps_to, Gv)
     au = base_align if (base_align > 1 and R % base_align == 0
                         and u_rows % base_align == 0) else 1
     av = base_align if (base_align > 1 and Rv % base_align == 0
@@ -232,7 +242,7 @@ def build_strip_plan(
     tuv_local[:, :, 1, :] = R    # sentinel: gather one-hot all-zero
     tuv_local[:, :, 2, :] = Rv
     ubase = np.zeros((n_steps_padded, G), np.int32)
-    vbase = np.zeros((n_steps_padded, G), np.int32)
+    vbase = np.zeros((n_steps_padded, G, 1), np.int32)
     oblk = np.zeros(n_steps_padded, np.int32)
     # block ids for every step (padding steps repeat the last block)
     ids = np.repeat(np.arange(n_blocks), steps_per_blk)
@@ -242,7 +252,7 @@ def build_strip_plan(
     if n_sub:
         step_of = blk_step_off[blk_of] + k_of
         ubase[step_of, slot_of] = ubs
-        vbase[step_of, slot_of] = vbs
+        vbase[step_of, slot_of, 0] = vbs
         lens = ends - starts
         cid = np.repeat(np.arange(n_sub), lens)
         rows = np.concatenate([np.arange(s0, e0)
@@ -261,13 +271,130 @@ def build_strip_plan(
         u_rows=u_rows, v_rows=v_rows, u_align=au, v_align=av)
 
 
+
+def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
+                             C, R, S, St, Rv, base_align, pad_steps_to,
+                             Gv) -> StripPlan:
+    """Gv > 1 planner: per strip, assign v values to runs of Rv/Gv rows
+    (sorted-unique greedy), batch runs Gv at a time, then cut each run
+    batch by u range / count.  Local v indices are remapped to the
+    compacted (Gv, Rv/Gv) window layout, so the kernel math is
+    unchanged — only the DMA issues Gv sub-window copies."""
+    assert Rv % Gv == 0, (Rv, Gv)
+    Rvs = Rv // Gv
+    G = S // St
+    K = t.shape[0]
+    R_eff = R  # bf16 alignment is not supported on the multi-window path
+    n_blocks = out_rows // S
+
+    # (strip, rows, ubase, vbases[Gv], t/u/v locals) per sub-chunk
+    subs = []
+    strip_arr = t // St
+    strip_starts = np.concatenate(
+        [[0], np.nonzero(np.diff(strip_arr))[0] + 1, [K]])
+    for si in range(len(strip_starts) - 1):
+        s0, s1 = int(strip_starts[si]), int(strip_starts[si + 1])
+        if s1 <= s0:
+            continue
+        strip = int(strip_arr[s0])
+        vs = v[s0:s1]
+        uniq = np.unique(vs)
+        # greedy v runs of width Rvs
+        bases = []
+        run_of_uniq = np.zeros(len(uniq), np.int64)
+        cur_base = None
+        rid = -1
+        for idx, val in enumerate(uniq):
+            if cur_base is None or val > cur_base + Rvs - 1:
+                rid += 1
+                cur_base = int(min(val, v_rows - Rvs))
+                bases.append(cur_base)
+            run_of_uniq[idx] = rid
+        run_of = run_of_uniq[np.searchsorted(uniq, vs)]
+        batch_of = run_of // Gv
+        for b in range(int(batch_of.max()) + 1):
+            m = np.nonzero(batch_of == b)[0]
+            bb = bases[b * Gv:(b + 1) * Gv]
+            bb = np.asarray(bb + [bb[-1]] * (Gv - len(bb)), np.int64)
+            tb, ub, vb = t[s0:s1][m], u[s0:s1][m], vs[m]
+            rb = run_of[m] - b * Gv
+            vloc = rb * Rvs + (vb - bb[rb])
+            # cut by u range / count (rows within a batch keep (u, v)
+            # order, so u is non-decreasing)
+            start = 0
+            nb = len(m)
+            while start < nb:
+                end_max = min(start + C, nb)
+                umin = ub[start]
+                umax = np.maximum.accumulate(ub[start:end_max])
+                ok = umax - umin < R_eff
+                bad = np.nonzero(~ok)[0]
+                end = start + (int(bad[0]) if len(bad) else
+                               (end_max - start))
+                assert end > start
+                ubase_c = int(min(umin, u_rows - R))
+                subs.append((strip,
+                             (tb[start:end] - strip * St).astype(np.int32),
+                             (ub[start:end] - ubase_c).astype(np.int32),
+                             vloc[start:end].astype(np.int32),
+                             ubase_c, bb))
+                start = end
+
+    # pack sub-chunks into steps: slot g of a step holds the k-th
+    # sub-chunk of strip (oblk*G + g)
+    strips = np.asarray([c[0] for c in subs], np.int64)
+    n_sub = len(subs)
+    blk_of = strips // G
+    slot_of = strips % G
+    k_of = np.zeros(n_sub, np.int64)
+    for i in range(1, n_sub):
+        k_of[i] = k_of[i - 1] + 1 if strips[i] == strips[i - 1] else 0
+    steps_per_blk = np.ones(n_blocks, np.int64)
+    if n_sub:
+        np.maximum.at(steps_per_blk, blk_of, k_of + 1)
+    blk_step_off = np.concatenate([[0], np.cumsum(steps_per_blk)[:-1]])
+    n_steps = int(steps_per_blk.sum())
+    n_steps_padded = pad_steps_to if pad_steps_to is not None else n_steps
+    assert n_steps_padded >= n_steps, (n_steps_padded, n_steps)
+
+    tuv_local = np.zeros((n_steps_padded, G, 3, C), np.int32)
+    tuv_local[:, :, 0, :] = St
+    tuv_local[:, :, 1, :] = R
+    tuv_local[:, :, 2, :] = Rv
+    ubase = np.zeros((n_steps_padded, G), np.int32)
+    vbase = np.zeros((n_steps_padded, G, Gv), np.int32)
+    oblk = np.zeros(n_steps_padded, np.int32)
+    ids = np.repeat(np.arange(n_blocks), steps_per_blk)
+    oblk[:n_steps] = ids
+    oblk[n_steps:] = n_blocks - 1 if n_blocks else 0
+    for i, (strip, tl, ul, vl, ub_c, bb) in enumerate(subs):
+        st = int(blk_step_off[blk_of[i]] + k_of[i])
+        g = int(slot_of[i])
+        L = len(tl)
+        tuv_local[st, g, 0, :L] = tl
+        tuv_local[st, g, 1, :L] = ul
+        tuv_local[st, g, 2, :L] = vl
+        ubase[st, g] = ub_c
+        vbase[st, g] = bb.astype(np.int32)
+
+    return StripPlan(
+        tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
+        C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
+        u_rows=u_rows, v_rows=v_rows, u_align=1, v_align=1, Gv=Gv)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
 
 def _batch_dot(a, b):
-    """(G, M, K) @ (G, K, N) -> (G, M, N) f32 batched matmul."""
+    """(G, M, K) @ (G, K, N) -> (G, M, N) f32 batched matmul.  G == 1
+    lowers as a plain 2-D dot — degenerate batch dims produce worse
+    Mosaic code (and hung compiles were observed at G=1 on hardware)."""
+    if a.shape[0] == 1:
+        return jnp.dot(a[0], b[0],
+                       preferred_element_type=jnp.float32)[None]
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -314,15 +441,18 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
 
 
 def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
-                  gu: int = 1, gv: int = 1):
+                  gu: int = 1, gv: int = 1, Gv: int = 1):
     """Double-buffered strip kernel: step i+1's 2G window DMAs are in
     flight while step i computes.  ``gu``/``gv`` as in v1: bf16 operands
     arrive as (rows/g, g, D) grouped views (untiled leading dim
-    sidesteps Mosaic's divisibility proof on dynamic bf16 slices)."""
+    sidesteps Mosaic's divisibility proof on dynamic bf16 slices).
+    ``Gv`` > 1: the v window is Gv disjoint sub-window DMAs (multi-base
+    windows; local indices pre-remapped by the planner)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = S // St
+    Rvs = Rv // Gv
 
     def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, u_hbm, v_hbm,
                o_ref, ubuf, vbuf, sems):
@@ -335,34 +465,43 @@ def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
             return pltpu.make_async_copy(src, ubuf.at[buf, g],
                                          sems.at[buf, g, 0])
 
-        def v_copy(step, buf, g):
-            src = (v_hbm.at[pl.ds(vbase_ref[step, g], Rv)] if gv == 1 else
-                   v_hbm.at[pl.ds(vbase_ref[step, g] // gv, Rv // gv)])
-            return pltpu.make_async_copy(src, vbuf.at[buf, g],
-                                         sems.at[buf, g, 1])
+        def v_copy(step, buf, g, w=0):
+            if Gv == 1:
+                src = (v_hbm.at[pl.ds(vbase_ref[step, g, 0], Rv)]
+                       if gv == 1 else
+                       v_hbm.at[pl.ds(vbase_ref[step, g, 0] // gv,
+                                      Rv // gv)])
+                return pltpu.make_async_copy(src, vbuf.at[buf, g],
+                                             sems.at[buf, g, 1])
+            src = v_hbm.at[pl.ds(vbase_ref[step, g, w], Rvs)]
+            return pltpu.make_async_copy(src, vbuf.at[buf, g, w],
+                                         sems.at[buf, g, 1 + w])
 
         @pl.when(i == 0)
         def _():
             for g in range(G):
                 u_copy(0, 0, g).start()
-                v_copy(0, 0, g).start()
+                for w in range(Gv):
+                    v_copy(0, 0, g, w).start()
 
         @pl.when(i + 1 < n)
         def _():
             nxt = jnp.minimum(i + 1, n - 1)
             for g in range(G):
                 u_copy(nxt, (i + 1) % 2, g).start()
-                v_copy(nxt, (i + 1) % 2, g).start()
+                for w in range(Gv):
+                    v_copy(nxt, (i + 1) % 2, g, w).start()
 
         for g in range(G):
             u_copy(i, i % 2, g).wait()
-            v_copy(i, i % 2, g).wait()
+            for w in range(Gv):
+                v_copy(i, i % 2, g, w).wait()
 
         uw = ubuf[i % 2]
         vw = vbuf[i % 2]
         if gu > 1:
             uw = uw.reshape(G, R, uw.shape[-1])
-        if gv > 1:
+        if gv > 1 or Gv > 1:
             vw = vw.reshape(G, Rv, vw.shape[-1])
         acc = _strip_math(tuv_ref[0], uw, vw, C, R, St, Rv, exact)
 
@@ -398,15 +537,19 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows, (
         "operands must be padded to the plan's row counts")
 
-    def grouping(x, align, win):
+    Gv = plan.Gv
+
+    def grouping(x, align, win, multi=False):
         if x.dtype != jnp.bfloat16:
             return x, 1
-        if align % 16 or win % 16:
+        if multi or align % 16 or win % 16:
+            # multi-base sub-windows keep the plain layout (bases are
+            # not 16-aligned); upcast for DMA-legal dynamic slices
             return x.astype(jnp.float32), 1
         return x[: (x.shape[0] // 16) * 16].reshape(-1, 16, x.shape[-1]), 16
 
     U, gu = grouping(U, plan.u_align, R)
-    V, gv = grouping(V, plan.v_align, Rv)
+    V, gv = grouping(V, plan.v_align, Rv, multi=Gv > 1)
     if not interpret:
         assert D % 128 == 0, (
             f"strip kernel needs a feature dim that is a multiple of 128 "
@@ -439,13 +582,14 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
         scratch_shapes=[
             pltpu.VMEM((2, G, R, D) if gu == 1 else
                        (2, G, R // gu, gu, D), U.dtype),
-            pltpu.VMEM((2, G, Rv, D) if gv == 1 else
-                       (2, G, Rv // gv, gv, D), V.dtype),
-            pltpu.SemaphoreType.DMA((2, G, 2)),
+            pltpu.VMEM((2, G, Rv, D) if (gv == 1 and Gv == 1) else
+                       ((2, G, Rv // gv, gv, D) if Gv == 1 else
+                        (2, G, Gv, Rv // Gv, D)), V.dtype),
+            pltpu.SemaphoreType.DMA((2, G, 1 + Gv)),
         ],
     )
     return pl.pallas_call(
-        _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv),
+        _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv, Gv=Gv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=cost,
@@ -458,17 +602,19 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
 # ---------------------------------------------------------------------------
 
 
-def normalize_strip_geom(g) -> Tuple[int, int, int, int, int]:
-    """Accept v1-style (C, R, S) / (C, R, S, Rv) geometries and fill
-    strip defaults: St = the largest 8-multiple divisor of S at S//4 or
-    coarser (G = 4 when it divides cleanly, else one strip per block)."""
+def normalize_strip_geom(g) -> Tuple[int, int, int, int, int, int]:
+    """Accept v1-style (C, R, S) / (C, R, S, Rv), 5-tuple strip
+    (C, R, S, St, Rv), or full 6-tuple (..., Gv) geometries; fill
+    defaults St = S//4 (when 8-aligned) and Gv = 1."""
     g = tuple(int(x) for x in g)
-    if len(g) == 5:
+    if len(g) == 6:
         return g
+    if len(g) == 5:
+        return g + (1,)
     C, R, S = g[:3]
     Rv = g[3] if len(g) == 4 else R
     St = S // 4 if (S % 4 == 0 and (S // 4) % 8 == 0) else S
-    return (C, R, S, St, Rv)
+    return (C, R, S, St, Rv, 1)
 
 
 def build_spspmm_strip_plans(
@@ -491,10 +637,10 @@ def build_spspmm_strip_plans(
         return max(((n + m - 1) // m) * m, m)
 
     def mk(tuv, u_rows, v_rows, o_rows, g, pad):
-        C, R, S, St, Rv = normalize_strip_geom(g)
+        C, R, S, St, Rv, Gv = normalize_strip_geom(g)
         return build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
                                 rup(o_rows, S), C, R, S, St, Rv,
-                                pad_steps_to=pad)
+                                pad_steps_to=pad, Gv=Gv)
 
     pad = pad_steps_to or {}
     # no pre-sorting needed: build_strip_plan orders (strip, u, v) itself
@@ -594,6 +740,10 @@ _STRIP_GEOMS = (
     (256, 512, 256, 128, 256),
     (384, 768, 256, 128, 384),
     (512, 1024, 128, 128, 512),
+    # multi-base v windows (Gv sub-window DMAs): giant-graph regimes
+    # whose per-strip edge spans exceed any single window
+    (256, 1024, 128, 128, 512, 8),
+    (256, 512, 256, 128, 256, 8),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which
@@ -610,7 +760,7 @@ def estimate_strip_vmem(geom, D: int, exact: bool = True,
     reject geometries that would crash the Mosaic compiler (observed:
     (512, 1024, 1024, 256, 1024) at D=128 exhausts the 16 MB VMEM with
     register-allocator spills)."""
-    C, R, S, St, Rv = normalize_strip_geom(geom)
+    C, R, S, St, Rv, _Gv = normalize_strip_geom(geom)
     G = S // St
     win = 2 * G * (R + Rv) * D * itemsize          # double-buffered windows
     tuv = 2 * G * 3 * C * 4                        # block double buffer
@@ -643,9 +793,10 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
             pool = [min(candidates or _STRIP_GEOMS,
                         key=lambda g: estimate_strip_vmem(g, D, exact))]
         for g in pool:
-            C, R, S, St, Rv = g
+            C, R, S, St, Rv, Gv = normalize_strip_geom(g)
             plan = build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
-                                    rup(o_rows, S), C, R, S, St, Rv)
+                                    rup(o_rows, S), C, R, S, St, Rv,
+                                    Gv=Gv)
             cost = estimate_strip_cost(plan, D, exact)
             if best is None or cost < best[1]:
                 best = (g, cost)

@@ -729,9 +729,9 @@ def test_strip_vmem_guard_and_geom_normalizer():
     for g in ((256, 256, 512, 128, 128), (320, 256, 512, 128, 128)):
         assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
     assert normalize_strip_geom((128, 256, 128)) == (128, 256, 128, 32,
-                                                     256)
+                                                     256, 1)
     assert normalize_strip_geom((256, 256, 512, 64)) == (256, 256, 512,
-                                                         128, 64)
+                                                         128, 64, 1)
     # autotune output respects the budget even on adversarial triples
     rng = np.random.default_rng(0)
     K = 8192
@@ -742,3 +742,37 @@ def test_strip_vmem_guard_and_geom_normalizer():
                                  D=128)
     for g in geoms.values():
         assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
+
+
+def test_multiwindow_v_strip_plans(rng):
+    """Gv > 1 (multi-base v sub-windows): same results as single-window
+    plans and the XLA oracle, forward and gradients, through the
+    custom-VJP entry point with 6-tuple geometries."""
+    from pygho_tpu.kernels.strip_spspmm import (build_spspmm_strip_plans,
+                                                fused_spspmm_strip)
+
+    n_out, n_u, n_v, D = 512, 512, 1024, 128
+    K = 4096
+    a = np.sort(rng.integers(0, n_out, K))
+    c = rng.integers(0, n_u, K)
+    d = rng.integers(0, n_v, K)     # wide v span
+    acd = np.stack([a, c, d]).astype(np.int64)
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+    g6 = (128, 512, 512, 128, 256, 8)
+    g5 = (128, 512, 512, 128, 1024, 1)
+    pm = build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                  {"fwd": g6, "dx": g6, "da": g6})
+    ps = build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                  {"fwd": g5, "dx": g5, "da": g5})
+    assert pm[0].Gv == 8 and ps[0].Gv == 1
+    om = fused_spspmm_strip(U, V, *pm, True)[:n_out]
+    os_ = fused_spspmm_strip(U, V, *ps, True)[:n_out]
+    # different chunk partitions reorder the f32 segment sums
+    assert maxdiff(om, os_) < 1e-5
+    gm = jax.grad(lambda u, v: (fused_spspmm_strip(u, v, *pm, True)
+                                ** 2).sum(), (0, 1))(U, V)
+    gs = jax.grad(lambda u, v: (fused_spspmm_strip(u, v, *ps, True)
+                                ** 2).sum(), (0, 1))(U, V)
+    assert maxdiff(gm[0], gs[0]) < 1e-4
+    assert maxdiff(gm[1], gs[1]) < 1e-4
