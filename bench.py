@@ -130,28 +130,33 @@ def main():
     fused = {}
 
     def bench_contract(contract, fwd_plan, exact, tag, reps=3):
-        Xp0 = _pad_rows(vals, fwd_plan.u_rows)
+        u_rows = fwd_plan.u_rows
+        Xp0 = _pad_rows(vals, u_rows)
         Ap0 = _pad_rows(jnp.ones((e_rows, D), jnp.float32),
                         fwd_plan.v_rows)
+        # the plan is a jit ARGUMENT: closure capture would inline its
+        # index arrays as HLO constants (large literals burden the
+        # remote compiler; the training path ships plans in the batch)
+        plan_dev = jax.device_put(fwd_plan)
 
         @jax.jit
-        def floop(Xp, Ap):
+        def floop(Xp, Ap, plan):
             def body(i, Xc):
-                o = contract(Xc, Ap, fwd_plan, interpret=False,
+                o = contract(Xc, Ap, plan, interpret=False,
                              exact=exact)
                 return jnp.concatenate(
                     [o[:nnz_pad],
-                     jnp.zeros((fwd_plan.u_rows - nnz_pad, D),
+                     jnp.zeros((u_rows - nnz_pad, D),
                                jnp.float32)]) \
-                    if fwd_plan.u_rows != nnz_pad else o[:nnz_pad]
+                    if u_rows != nnz_pad else o[:nnz_pad]
             return jax.lax.fori_loop(0, N_ITER, body, Xp)
 
-        float(jnp.sum(floop(Xp0, Ap0)))
+        float(jnp.sum(floop(Xp0, Ap0, plan_dev)))
         r = min(rtt(), rtt())
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(jnp.sum(floop(Xp0, Ap0)))
+            float(jnp.sum(floop(Xp0, Ap0, plan_dev)))
             ts.append((time.perf_counter() - t0 - r) / N_ITER)
         dtf = min(ts)
         log(f"{tag}: {dtf * 1e3:.3f} ms -> "

@@ -95,3 +95,34 @@ def test_model_from_config():
     cfg2 = ModelConfig(conv="PPGN", sparse=False, hiddim=16, num_layer=1)
     m2 = make_model_from_config(cfg2)
     assert m2 is not None
+
+
+def test_compile_counter_and_bucket_events():
+    """Telemetry primitives (VERDICT r1 #10): CompileCounter counts XLA
+    backend compiles via jax.monitoring; Buckets records growth events
+    and drains them."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygho_tpu.hodata.loader import Buckets
+    from pygho_tpu.utils.metrics import CompileCounter
+
+    cc = CompileCounter()
+    base = cc.count
+    jax.jit(lambda x: x * 3 + 1)(jnp.ones((5, 7)))
+    assert cc.count >= base + 1
+    d = cc.delta()
+    assert d >= 1
+    assert cc.delta() == 0          # no compiles since
+    jax.jit(lambda x: x - 2)(jnp.ones((3,)))
+    assert cc.delta() >= 1
+
+    b = Buckets()
+    b["tuples"] = 128
+    b["tuples"] = 64                # shrink attempt: monotone, no event
+    b["tuples"] = 256
+    assert b["tuples"] == 256
+    ev = b.drain_events()
+    assert ("tuples", 0, 128) in ev and ("tuples", 128, 256) in ev
+    assert all(old < new for _, old, new in ev)
+    assert b.drain_events() == []
