@@ -79,6 +79,12 @@ class StripPlan:
     # indices — same one-hot FLOPs, Gv x the effective index span
     # (giant-graph edge windows; see BENCHMARKS "locality limits")
     Gv: int = 1
+    # static launch splits (step_start, step_end, blk_start, blk_end):
+    # Mosaic on this toolchain crashes on strip grids beyond ~512-2048
+    # steps (bisected 2026-08-19: 512 compiles, 2048 doesn't), so big
+    # plans execute as several <=512-step launches over disjoint
+    # block ranges whose outputs concatenate
+    launch_splits: tuple = ()
 
     @property
     def G(self) -> int:
@@ -97,7 +103,7 @@ jax.tree_util.register_dataclass(
     StripPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk"],
     meta_fields=["C", "R", "S", "St", "Rv", "out_rows", "u_rows",
-                 "v_rows", "u_align", "v_align", "Gv"],
+                 "v_rows", "u_align", "v_align", "Gv", "launch_splits"],
 )
 
 try:  # jax.export serialization (parity with v1 plans)
@@ -113,6 +119,41 @@ try:  # jax.export serialization (parity with v1 plans)
     )
 except Exception:  # pragma: no cover
     pass
+
+
+
+_MAX_GRID_STEPS = 512
+
+
+def _launch_splits(oblk: np.ndarray, n_blocks: int,
+                   max_steps: Optional[int] = None) -> tuple:
+    """Static (step_start, step_end, blk_start, blk_end) launch ranges,
+    cut at output-block boundaries so each block's revisit accumulation
+    stays within one launch."""
+    if max_steps is None:
+        max_steps = _MAX_GRID_STEPS   # read at call time (testable)
+    n = len(oblk)
+    if n <= max_steps:
+        return ((0, n, 0, n_blocks),)
+    starts = np.concatenate(
+        [[0], np.nonzero(np.diff(oblk))[0] + 1, [n]])
+    splits = []
+    s0 = 0
+    b0 = 0
+    while s0 < n:
+        limit = s0 + max_steps
+        if limit >= n:
+            s1 = n
+        else:
+            cands = starts[(starts > s0) & (starts <= limit)]
+            assert len(cands), (
+                f"one output block spans more than {max_steps} steps; "
+                f"raise St or C (block at step {s0})")
+            s1 = int(cands[-1])
+        b1 = int(oblk[s1 - 1]) + 1 if s1 < n else n_blocks
+        splits.append((s0, s1, b0, b1))
+        s0, b0 = s1, b1
+    return tuple(splits)
 
 
 def build_strip_plan(
@@ -268,7 +309,8 @@ def build_strip_plan(
     return StripPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
-        u_rows=u_rows, v_rows=v_rows, u_align=au, v_align=av)
+        u_rows=u_rows, v_rows=v_rows, u_align=au, v_align=av,
+        launch_splits=_launch_splits(oblk, n_blocks))
 
 
 
@@ -380,7 +422,8 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
     return StripPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
-        u_rows=u_rows, v_rows=v_rows, u_align=1, v_align=1, Gv=Gv)
+        u_rows=u_rows, v_rows=v_rows, u_align=1, v_align=1, Gv=Gv,
+        launch_splits=_launch_splits(oblk, n_blocks))
 
 
 # ---------------------------------------------------------------------------
@@ -561,40 +604,55 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             f" MB budget) at D={D} — Mosaic would exhaust VMEM; pick a "
             f"narrower window / smaller G = S//St (autotune_strip_geoms "
             f"filters candidates automatically)")
-    n_steps = plan.n_steps
-    passes = 3 if exact else 1
-    flops = 2 * n_steps * G * passes * (C * R * D + C * Rv * D
-                                        + St * C * D)
-    cost = pl.CostEstimate(
-        flops=flops,
-        bytes_accessed=n_steps * G * (R + Rv + St) * D * 4,
-        transcendentals=0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((S, D),
-                               lambda i, ub, vb, ob, *refs: (ob[i], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, G, R, D) if gu == 1 else
-                       (2, G, R // gu, gu, D), U.dtype),
-            pltpu.VMEM((2, G, Rv, D) if (gv == 1 and Gv == 1) else
-                       ((2, G, Rv // gv, gv, D) if Gv == 1 else
-                        (2, G, Gv, Rv // Gv, D)), V.dtype),
-            pltpu.SemaphoreType.DMA((2, G, 1 + Gv)),
-        ],
-    )
-    return pl.pallas_call(
-        _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv, Gv=Gv),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(plan.ubase, plan.vbase, plan.oblk, plan.tuv_local, U, V)
+    def launch(ubase, vbase, oblk, tuv_local, out_rows):
+        n_steps = int(oblk.shape[0])
+        passes = 3 if exact else 1
+        flops = 2 * n_steps * G * passes * (C * R * D + C * Rv * D
+                                            + St * C * D)
+        cost = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_steps * G * (R + Rv + St) * D * 4,
+            transcendentals=0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((S, D),
+                                   lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, R, D) if gu == 1 else
+                           (2, G, R // gu, gu, D), U.dtype),
+                pltpu.VMEM((2, G, Rv, D) if (gv == 1 and Gv == 1) else
+                           ((2, G, Rv // gv, gv, D) if Gv == 1 else
+                            (2, G, Gv, Rv // Gv, D)), V.dtype),
+                pltpu.SemaphoreType.DMA((2, G, 1 + Gv)),
+            ],
+        )
+        return pl.pallas_call(
+            _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv, Gv=Gv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, D), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ubase, vbase, oblk, tuv_local, U, V)
+
+    splits = plan.launch_splits or ((0, plan.n_steps, 0,
+                                     plan.out_rows // S),)
+    if len(splits) == 1:
+        return launch(plan.ubase, plan.vbase, plan.oblk,
+                      plan.tuv_local, plan.out_rows)
+    # Mosaic grid-length ceiling (see launch_splits): several launches
+    # over disjoint block ranges; slices are static, outputs concat
+    outs = []
+    for (s0, s1, b0, b1) in splits:
+        outs.append(launch(plan.ubase[s0:s1], plan.vbase[s0:s1],
+                           plan.oblk[s0:s1] - b0,
+                           plan.tuv_local[s0:s1], (b1 - b0) * S))
+    return jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------

