@@ -191,6 +191,11 @@ def main():
     b2a = jnp.asarray(np.concatenate(
         [b2a_host, np.full(nnz_pad - nnz, -1, np.int32)]))
 
+    # the op is fast enough that RTT noise swamps N_ITER iterations
+    # (~40 us/iter vs ~31 ms tunnel RTT): run 40x more so the loop body
+    # dominates the subtraction, and take the median of 3
+    N_SDDMM = 40 * N_ITER
+
     @jax.jit
     def sddmm_loop(vals):
         Xs = SparseTensor(jnp.asarray(batch["tupleid"]), vals,
@@ -201,13 +206,16 @@ def main():
             A2 = SparseTensor(Xs.indices, v, Xs.nnz, Xs.sparse_shape)
             return spsphadamard(A2, Xs, b2a).values
 
-        return jax.lax.fori_loop(0, N_ITER, body, vals)
+        return jax.lax.fori_loop(0, N_SDDMM, body, vals)
 
     float(jnp.sum(sddmm_loop(vals)))
     r = min(rtt(), rtt())
-    t0 = time.perf_counter()
-    float(jnp.sum(sddmm_loop(vals)))
-    dt_sddmm = (time.perf_counter() - t0 - r) / N_ITER
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(sddmm_loop(vals)))
+        ts.append((time.perf_counter() - t0 - r) / N_SDDMM)
+    dt_sddmm = max(sorted(ts)[1], 1e-6)
     # roofline for the hadamard: 3 HBM passes over nnz rows
     sddmm_rows = int(batch["num_tuples"]) / dt_sddmm
     sddmm_roof = bw / (3 * D * 4)

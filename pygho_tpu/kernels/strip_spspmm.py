@@ -111,11 +111,18 @@ try:  # jax.export serialization (parity with v1 plans)
 
     from jax import export as _jexport
 
+    def _detuple(x):
+        # JSON has no tuples: restore nested tuples (launch_splits is a
+        # tuple of 4-tuples and participates in pytree-meta equality)
+        return (tuple(_detuple(e) for e in x) if isinstance(x, list)
+                else x)
+
     _jexport.register_pytree_node_serialization(
         StripPlan,
         serialized_name="pygho_tpu.kernels.StripPlan",
         serialize_auxdata=lambda aux: _json.dumps(list(aux)).encode(),
-        deserialize_auxdata=lambda b: tuple(_json.loads(bytes(b).decode())),
+        deserialize_auxdata=lambda b: _detuple(_json.loads(
+            bytes(b).decode())),
     )
 except Exception:  # pragma: no cover
     pass
