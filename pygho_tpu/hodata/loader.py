@@ -275,13 +275,19 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
 
 
 def add_attention_plans(batch, keys, buckets, geoms_cache,
-                        plan_dim: int = 128, plan_kind: str = "strip"):
-    """Build the two extra fused-kernel plan triples the fused NGAT
-    attention path consumes (``batch["<key>___attplan"]``):
+                        plan_dim: int = 128, plan_kind: str = "strip",
+                        single_launch: bool = True):
+    """Build the fused-kernel plans the fused NGAT attention path
+    consumes.
 
-    - score stage, triples (k, c, d): s12[k] = a1[c_k] * aA[d_k]
-      (out rows = the padded triple count K)
-    - aggregate stage, triples (a, c, k): out[a] += a3[c_k] * alpha[k]
+    Default (``single_launch``): ONE strip-plan triple on the raw
+    (a, c, d) triples (``batch["<key>___attplan1"]``) driving
+    kernels.strip_attention.fused_attention_strip — the whole
+    score/softmax/aggregate chain in one launch per pass.  Falls back
+    per batch to the two-launch plans (``batch["<key>___attplan"]``,
+    score stage (k, c, d) + aggregate stage (a, c, k) with softmax on
+    XLA) when the single-launch planner cannot cover the geometry
+    (fragmented windows needing Gv>1, or a >512-step output block).
 
     Shares the bucket/geometry caching discipline of add_spspmm_plans.
     """
@@ -290,6 +296,8 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
     from ..hodata.sp_data import parsekey
     from ..kernels.strip_spspmm import (autotune_strip_geoms,
                                         build_spspmm_strip_plans)
+    from ..kernels.strip_attention import (autotune_attention_geoms,
+                                           build_attention_strip_plans)
 
     assert plan_kind == "strip", "attention plans ride the strip kernel"
     for key in keys:
@@ -298,6 +306,30 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
         op0, op1, _, op2, _ = parsekey(key)
         acd = np.asarray(batch[f"{key}{KEYSEP}acd"])
         K_pad = acd.shape[1]
+        if single_launch:
+            x_rows1 = batch[f"tupleid{op1[1:]}"].shape[1]
+            e_rows1 = (batch["edge_index"].shape[1] if op2 == "A"
+                       else batch[f"tupleid{op2[1:]}"].shape[1])
+            try:
+                gname = f"att1{key}"
+                if gname not in geoms_cache:
+                    geoms_cache[gname] = autotune_attention_geoms(
+                        acd, x_rows1, e_rows1, D=plan_dim)
+                p = build_attention_strip_plans(acd, x_rows1, e_rows1,
+                                                geoms_cache[gname])
+                pads = {}
+                for role, pp in zip(("fwd", "dx", "da"), p):
+                    pad = max(bucket_size(pp.n_steps, 8),
+                              buckets.get(f"att1{key}{role}", 0))
+                    buckets[f"att1{key}{role}"] = pad
+                    pads[role] = pad
+                batch[f"{key}{KEYSEP}attplan1"] = \
+                    build_attention_strip_plans(
+                        acd, x_rows1, e_rows1, geoms_cache[gname],
+                        pad_steps_to=pads)
+                continue
+            except AssertionError:
+                pass  # geometry not coverable: two-launch fallback
         x_rows = batch[f"tupleid{op1[1:]}"].shape[1]
         e_rows = (batch["edge_index"].shape[1] if op2 == "A"
                   else batch[f"tupleid{op2[1:]}"].shape[1])
@@ -353,7 +385,9 @@ class SpDataloader(_BaseLoader):
         self.plan_geometry = plan_geometry  # geometry|"auto"|"autotune"|None
         self.plan_dim = plan_dim
         self.plan_kind = plan_kind          # "strip" (v2) | "chunk" (v1)
-        # fused NGAT attention: also build the score/aggregate plan pairs
+        # fused NGAT attention: True builds the single-launch strip
+        # plan triple (___attplan1); "two-launch" forces the two-stage
+        # score/aggregate plan pairs (___attplan, softmax on XLA)
         self.attention_plans = attention_plans
         self._geoms: Dict[str, tuple] = {}
 
@@ -366,8 +400,10 @@ class SpDataloader(_BaseLoader):
                              self.plan_geometry, self.plan_dim,
                              self.plan_kind)
         if self.attention_plans:
-            add_attention_plans(batch, self.keys, self.buckets,
-                                self._geoms, self.plan_dim)
+            add_attention_plans(
+                batch, self.keys, self.buckets, self._geoms,
+                self.plan_dim,
+                single_launch=self.attention_plans != "two-launch")
         return batch
 
 

@@ -240,6 +240,36 @@ class NGATConv(nnx.Module):
         nseg = tX.nnz_pad
         key = self.keyop.precomputekey
         acd = datadict[f"{key}{KEYSEP}acd"]
+        attplan1 = datadict.get(f"{key}{KEYSEP}attplan1", None)
+        if (attplan1 is not None and self.aggr_str == "sum"
+                and A.values is not None and tX.values.ndim == 2
+                and tX.values.shape[1] % 128 == 0
+                and A.values.shape[-1] == tX.values.shape[1]):
+            # single-launch fused attention (kernels/strip_attention):
+            # the whole score -> softmax -> aggregate chain is one strip
+            # launch per pass (fwd + three gradient roles), e is never
+            # materialized in HBM; only the final division runs on XLA
+            import jax.numpy as jnp
+
+            from ..backend.segment import segment_reduce
+            from ..kernels.fused_spspmm import get_fused_math
+            from ..kernels.strip_attention import fused_attention_strip
+
+            a1 = self.att1(tX.values)
+            a2 = self.att2(tX.values)
+            a3 = self.att3(tX.values)
+            aA = self.attA(A.values)
+            # rows with triples: a flushed-to-zero denominator on one of
+            # these poisons with NaN (loud) instead of silently being 0
+            ones = jnp.ones((acd.shape[1], 1), jnp.float32)
+            nonempty = segment_reduce(ones, acd[0], nseg, "sum",
+                                      indices_are_sorted=True)[:, 0] > 0
+            out = fused_attention_strip(a1, a3, aA, a2, *attplan1,
+                                        nonempty, None,
+                                        get_fused_math())[:nseg]
+            return SparseTensor(indices=tX.indices,
+                                values=out.astype(tX.values.dtype),
+                                nnz=tX.nnz, sparse_shape=tX.sparse_shape)
         attplans = datadict.get(f"{key}{KEYSEP}attplan", None)
         if (attplans is not None and self.aggr_str == "sum"
                 and A.values is not None and tX.values.ndim == 2

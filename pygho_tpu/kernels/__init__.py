@@ -17,6 +17,10 @@ from .fused_spmamm import build_spmamm_plans, spmamm_triples
 from .strip_spspmm import (StripPlan, build_strip_plan, strip_contract,
                            build_spspmm_strip_plans, fused_spspmm_strip,
                            autotune_strip_geoms, estimate_strip_cost)
+from .strip_attention import (fused_attention_strip,
+                              build_attention_strip_plans,
+                              autotune_attention_geoms,
+                              strip_attention_role, estimate_att_vmem)
 
 __all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
            "build_spspmm_plans_for", "autotune_spspmm_geoms",
@@ -25,4 +29,7 @@ __all__ = ["ChunkPlan", "build_chunk_plan", "build_spspmm_plans",
            "build_spmamm_plans", "spmamm_triples",
            "StripPlan", "build_strip_plan", "strip_contract",
            "build_spspmm_strip_plans", "fused_spspmm_strip",
-           "autotune_strip_geoms", "estimate_strip_cost"]
+           "autotune_strip_geoms", "estimate_strip_cost",
+           "fused_attention_strip", "build_attention_strip_plans",
+           "autotune_attention_geoms", "strip_attention_role",
+           "estimate_att_vmem"]

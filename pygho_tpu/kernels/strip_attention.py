@@ -1,0 +1,489 @@
+"""Single-launch fused attention on the strip kernel (Pallas TPU).
+
+The spspmpnn attention chain (reference Spspmm.py:334-380; the NGAT
+message closure in honn/conv.py) is, per triple (a, c, d):
+
+    s_k   = a1[c_k] * aA[d_k] * a2[a_k]          (per-channel score)
+    e_k   = exp(s_k - m)                          (m: per-channel shift)
+    out[a] = (sum_k e_k * a3[c_k]) / (sum_k e_k)  (softmax-aggregate)
+
+Round 2's two-launch composition (score stage + aggregate stage on the
+strip kernel, softmax on XLA) still materializes the (K, D) score array
+twice and pays an extra kernel round trip; BENCHMARKS.md's floor
+analysis puts a single-launch kernel at ~1.5x a plain contraction.
+This module is that kernel: ONE strip launch computes gathers, the
+exponential, and the numerator/denominator scatters; only the final
+division stays on XLA.  The softmax shift is the per-SEGMENT bound
+t[a] = |a2[a]| * B with B[d] = max|a1| * max|aA| (column maxima, no
+gathers; computed in-kernel from the gathered a2): any per-segment
+constant cancels in the softmax ratio exactly, so the bound only has
+to keep e representable (s - t <= 0 by construction; underflow needs
+the bound to overshoot the true row max by >85 nats, vs the measured
+~10-40 for this bound — a GLOBAL product bound including max|a2|
+measured 30-105 nats over and flushed most rows to zero, which is why
+the a2 factor stays per-row).
+
+Gradients run as three more strip launches that RECOMPUTE e in-kernel
+(flash-attention-style; e is never materialized in HBM).  With
+gZ = g / Z and goZ = gZ * out (cheap XLA elementwise on the cotangent):
+
+    ds_k   = e_k * (a3[c]*gZ[a] - goZ[a])
+    d_a2[a] += ds * a1[c] * aA[d]     (strip-sorted by a — fwd plan)
+    d_a1[c] += ds * aA[d] * a2[a]     (strip-sorted by c — dx plan)
+    d_a3[c] += e  * gZ[a]             (same launch as d_a1: packed lanes)
+    d_aA[d] += ds * a1[c] * a2[a]     (strip-sorted by d — da plan)
+
+Every role is the SAME kernel shape — two one-hot window gathers + one
+strip-side gather (the transpose of the scatter one-hot) + VPU math +
+one strip-aligned scatter — parameterized by which score factors live
+in which window and by the message expression.  Plans are the plain
+``build_spspmm_strip_plans(acd, x_rows, e_rows, x_rows, geoms)`` triple
+on the raw (a, c, d) triples; multi-feature operands pack along the
+lanes (e.g. [a1|a3] as one (rows, 2D) window) so each stage stays one
+batched MXU primitive.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .strip_spspmm import (StripPlan, _batch_dot, _pack3, _sum3,
+                           estimate_strip_vmem)
+
+__all__ = ["strip_attention_role", "fused_attention_strip",
+           "estimate_att_vmem"]
+
+
+# role -> (Wu, Wv, Wt, Wout) window lane widths in units of D
+_ROLE_WIDTHS = {
+    "fwd": (2, 1, 1, 2),   # u=[a1|a3]  v=[aA]        t=[a2]     out=[num|den]
+    "dw":  (2, 1, 3, 1),   # u=[a1|a3]  v=[aA]        t=[a2|gZ|goZ]  out=[da2]
+    "dc":  (3, 1, 2, 2),   # u=[a2|gZ|goZ]  v=[aA]    t=[a1|a3]  out=[da1|da3]
+    "dv":  (2, 3, 1, 1),   # u=[a1|a3]  v=[a2|gZ|goZ] t=[aA]     out=[daA]
+}
+
+
+def _groups(x, n, D):
+    return tuple(x[..., i * D:(i + 1) * D] for i in range(n))
+
+
+def _att_math(role, tuv, uw, vw, tw, m, C, R, St, Rv, exact):
+    """One step's G sub-chunks of the attention role ``role``.
+    tuv: (G, 3, C) i32; uw: (G, R, Wu*D); vw: (G, Rv, Wv*D);
+    tw: (G, St, Wt*D); m: (1, D) f32.  Returns (G*St, Wout*D) f32."""
+    import jax.lax as lax
+
+    G = tuv.shape[0]
+    Wu, Wv, Wt, _ = _ROLE_WIDTHS[role]
+    D = uw.shape[-1] // Wu
+    t_loc, u_loc, v_loc = tuv[:, 0, :], tuv[:, 1, :], tuv[:, 2, :]
+
+    def gather(loc, w, width):
+        iota = lax.broadcasted_iota(jnp.int32, (G, C, width), 2)
+        oh = jnp.where(loc[:, :, None] == iota, 1.0, 0.0).astype(
+            jnp.bfloat16)
+        if exact and w.dtype != jnp.bfloat16:
+            return _sum3(_batch_dot(oh, _pack3(w)))
+        return _batch_dot(oh, w.astype(jnp.bfloat16))
+
+    gu = _groups(gather(u_loc, uw, R), Wu, D)
+    gv = _groups(gather(v_loc, vw, Rv), Wv, D)
+    # strip-side gather: the transpose of the scatter one-hot
+    iota_s = lax.broadcasted_iota(jnp.int32, (G, C, St), 2)
+    oh_s = jnp.where(t_loc[:, :, None] == iota_s, 1.0, 0.0).astype(
+        jnp.bfloat16)
+    if exact and tw.dtype != jnp.bfloat16:
+        st = _groups(_sum3(_batch_dot(oh_s, _pack3(tw))), Wt, D)
+    else:
+        st = _groups(_batch_dot(oh_s, tw.astype(jnp.bfloat16)), Wt, D)
+
+    # map gathered groups onto (u1, u3 | w, gZ, goZ | v) per role.
+    # the softmax shift is PER SEGMENT: t[a] = |w[a]| * B with
+    # B[d] = max|a1| * max|av| (the m input) — segment-constant, so it
+    # cancels in the softmax ratio exactly; a *global* product bound
+    # (max|a1|*max|av|*max|a2|) measured 30-105 nats above the true row
+    # max on normal data, flushing e below f32's subnormal cutoff
+    # (~e^-87, TPU flushes) for most rows
+    def _e(u1, v, w):
+        return jnp.exp(u1 * v * w - jnp.abs(w) * m[None])
+
+    if role == "fwd":
+        u1, u3 = gu
+        (v,), (w,) = gv, st
+        e = _e(u1, v, w)
+        msg = jnp.concatenate([u3 * e, e], axis=-1)
+    elif role == "dw":
+        u1, u3 = gu
+        (v,), (w, gZ, goZ) = gv, st
+        e = _e(u1, v, w)
+        msg = e * (u3 * gZ - goZ) * u1 * v
+    elif role == "dc":
+        w, gZ, goZ = gu
+        (v,), (u1, u3) = gv, st
+        e = _e(u1, v, w)
+        msg = jnp.concatenate(
+            [e * (u3 * gZ - goZ) * v * w, e * gZ], axis=-1)
+    elif role == "dv":
+        u1, u3 = gu
+        (w, gZ, goZ), (v,) = gv, st
+        e = _e(u1, v, w)
+        msg = e * (u3 * gZ - goZ) * u1 * w
+    else:  # pragma: no cover
+        raise ValueError(role)
+
+    iota_t = lax.broadcasted_iota(jnp.int32, (G, St, C), 1)
+    oh_t = jnp.where(t_loc[:, None, :] == iota_t, 1.0, 0.0).astype(
+        jnp.bfloat16)
+    if exact:
+        acc = _sum3(_batch_dot(oh_t, _pack3(msg)))
+    else:
+        acc = _batch_dot(oh_t, msg.astype(jnp.bfloat16))
+    return acc.reshape(G * St, -1)
+
+
+def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
+                exact: bool):
+    """Double-buffered attention strip kernel: u/v window DMAs plus a
+    strip-side DMA of the t-operand's own St rows per sub-chunk (base =
+    oblk*S + g*St, derived from the scalar-prefetched oblk)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = S // St
+
+    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, m_ref,
+               u_hbm, v_hbm, t_hbm, o_ref, ubuf, vbuf, tbuf, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        # operands arrive as (rows/16, 16, W) grouped views: this
+        # Mosaic's tile-divisibility proof rejects dynamic-base slices
+        # on ANY tiled dim wider than one lane tile (128), f32 included
+        # (probed 2026-08-19: W=128 compiles, W=256/384 do not); the
+        # grouped leading dim is untiled, and plan bases are 16-aligned
+        # (base_align=16, the planner default)
+        def u_copy(step, buf, g):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(ubase_ref[step, g] // 16, R // 16)],
+                ubuf.at[buf, g], sems.at[buf, g, 0])
+
+        def v_copy(step, buf, g):
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(vbase_ref[step, g, 0] // 16, Rv // 16)],
+                vbuf.at[buf, g], sems.at[buf, g, 1])
+
+        def t_copy(step, buf, g):
+            return pltpu.make_async_copy(
+                t_hbm.at[pl.ds(oblk_ref[step] * (S // 16)
+                               + g * (St // 16), St // 16)],
+                tbuf.at[buf, g], sems.at[buf, g, 2])
+
+        @pl.when(i == 0)
+        def _():
+            for g in range(G):
+                u_copy(0, 0, g).start()
+                t_copy(0, 0, g).start()
+                v_copy(0, 0, g).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            nxt = jnp.minimum(i + 1, n - 1)
+            for g in range(G):
+                u_copy(nxt, (i + 1) % 2, g).start()
+                t_copy(nxt, (i + 1) % 2, g).start()
+                v_copy(nxt, (i + 1) % 2, g).start()
+
+        for g in range(G):
+            u_copy(i, i % 2, g).wait()
+            t_copy(i, i % 2, g).wait()
+            v_copy(i, i % 2, g).wait()
+
+        uw = ubuf[i % 2]
+        uw = uw.reshape(G, R, uw.shape[-1])
+        vw = vbuf[i % 2].reshape(G, Rv, vbuf.shape[-1])
+        tw = tbuf[i % 2].reshape(G, St, tbuf.shape[-1])
+        acc = _att_math(role, tuv_ref[0], uw, vw, tw,
+                        m_ref[0:1], C, R, St, Rv, exact)
+
+        first = jnp.logical_or(
+            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    return kernel
+
+
+def estimate_att_vmem(role: str, geom, D: int, exact: bool = True,
+                      Gv: int = 1) -> int:
+    """VMEM bytes for one attention-role step (window buffers x2 for
+    double buffering + the step's gather/scatter intermediates), the
+    attention analog of estimate_strip_vmem."""
+    C, R, S, St, Rv = geom[:5]
+    G = S // St
+    Wu, Wv, Wt, Wout = _ROLE_WIDTHS[role]
+    f = 3 if exact else 1
+    win = 2 * G * (R * Wu + Rv * Wv + St * Wt) * D * 4
+    onehot = G * C * (R + Rv + 2 * St) * 2
+    inter = G * C * D * (Wu + Wv + Wt + Wout) * 4 \
+        + G * C * max(Wu, Wv, Wt, Wout) * D * f * 2
+    out = S * Wout * D * 4
+    return win + onehot + inter + out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("role", "interpret", "exact"))
+def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
+                         T: jax.Array, m: jax.Array, plan: StripPlan,
+                         interpret: Optional[bool] = None,
+                         exact: bool = True) -> jax.Array:
+    """Run one attention role per ``plan``.  U: (>=plan.u_rows, Wu*D),
+    V: (>=plan.v_rows, Wv*D), T: (>=plan.out_rows, Wt*D), m: (1, D) f32.
+    Returns (plan.out_rows, Wout*D) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
+    G = plan.G
+    Wu, Wv, Wt, Wout = _ROLE_WIDTHS[role]
+    D = U.shape[-1] // Wu
+    assert plan.Gv == 1, (
+        "attention strip plans must use Gv=1 (multi-base v sub-windows "
+        "have unaligned bases, incompatible with the grouped f32 DMAs)")
+    assert R % 16 == 0 and Rv % 16 == 0 and St % 16 == 0, (R, Rv, St)
+    assert U.shape[-1] == Wu * D and V.shape[-1] == Wv * D \
+        and T.shape[-1] == Wt * D, (role, U.shape, V.shape, T.shape, D)
+    assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows \
+        and T.shape[0] >= plan.out_rows
+
+    def group16(x):
+        return x.astype(jnp.float32)[: (x.shape[0] // 16) * 16].reshape(
+            -1, 16, x.shape[-1])
+
+    U, V = group16(U), group16(V)
+    m8 = jnp.zeros((8, D), jnp.float32).at[0].set(
+        m.reshape(-1).astype(jnp.float32))
+    if not interpret:
+        assert D % 128 == 0, (
+            f"attention strip kernel needs D % 128 == 0 (got {D})")
+        from .strip_spspmm import _VMEM_BUDGET
+        vmem = estimate_att_vmem(role, (C, R, S, St, Rv), D, exact)
+        assert vmem <= _VMEM_BUDGET, (
+            f"attention role {role} geometry (C={C}, R={R}, S={S}, "
+            f"St={St}, Rv={Rv}) needs ~{vmem / 1e6:.0f} MB VMEM at "
+            f"D={D} (> {_VMEM_BUDGET / 1e6:.0f} MB budget); pick a "
+            f"narrower window (autotune with D=3*hiddim is a safe "
+            f"conservative filter)")
+
+    def launch(ubase, vbase, oblk, tuv_local, t_part, out_rows):
+        n_steps = int(oblk.shape[0])
+        passes = 3 if exact else 1
+        flops = 2 * n_steps * G * passes * C * D * (
+            R * Wu + Rv * Wv + St * Wt + St * Wout)
+        cost = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_steps * G * (R * Wu + Rv * Wv
+                                          + 2 * St * Wt) * D * 4,
+            transcendentals=n_steps * G * C * D)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
+                pl.BlockSpec((8, D), lambda i, *refs: (0, 0)),
+                # pin operands to HBM: pl.ANY lets Mosaic place small
+                # arrays in VMEM, where the dynamic-base window DMA hits
+                # the tile-divisibility proof even for f32
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (S, Wout * D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, R // 16, 16, Wu * D), jnp.float32),
+                pltpu.VMEM((2, G, Rv // 16, 16, Wv * D), jnp.float32),
+                pltpu.VMEM((2, G, St // 16, 16, Wt * D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G, 3)),
+            ],
+        )
+        return pl.pallas_call(
+            _att_kernel(role, C, R, S, St, Rv, exact),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, Wout * D),
+                                           jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ubase, vbase, oblk, tuv_local, m8, U, V, group16(t_part))
+
+    splits = plan.launch_splits or ((0, plan.n_steps, 0,
+                                     plan.out_rows // S),)
+    if len(splits) == 1:
+        return launch(plan.ubase, plan.vbase, plan.oblk,
+                      plan.tuv_local, T, plan.out_rows)
+    outs = []
+    for (s0, s1, b0, b1) in splits:
+        outs.append(launch(plan.ubase[s0:s1], plan.vbase[s0:s1],
+                           plan.oblk[s0:s1] - b0, plan.tuv_local[s0:s1],
+                           T[b0 * S:b1 * S], (b1 - b0) * S))
+    return jnp.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# differentiable softmax-attention contraction
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x, rows):
+    if x.shape[0] >= rows:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)])
+
+
+def _shift_bound(a1, av):
+    """Per-channel B[d] = max|a1| * max|av| (column maxima; pad rows
+    are zeroed upstream, so they never raise the max).  The kernel's
+    softmax shift is the per-segment t[a] = |a2[a]| * B >= |score| —
+    see _att_math for why the a2 factor must stay per-row."""
+    m = jnp.max(jnp.abs(a1), axis=0) * jnp.max(jnp.abs(av), axis=0)
+    return jax.lax.stop_gradient(m.astype(jnp.float32))[None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_attention_strip(a1: jax.Array, a3: jax.Array, av: jax.Array,
+                          a2: jax.Array, fwd: StripPlan, dxp: StripPlan,
+                          dap: StripPlan,
+                          nonempty: Optional[jax.Array] = None,
+                          interpret: Optional[bool] = None,
+                          exact: bool = True) -> jax.Array:
+    """out[a] = softmax_k(a1[c_k]*av[d_k]*a2[a])-weighted sum of a3[c_k]
+    over triples (a, c, d) — the full NGAT attention chain in one strip
+    launch (plus the final division).  a1/a3/a2: (x_rows, D);
+    av: (e_rows, D).  Plans: build_attention_strip_plans(acd, x_rows,
+    e_rows, geoms).  Returns (fwd.out_rows, D) f32.
+
+    ``nonempty`` (bool (x_rows,), rows that have triples — cheap from
+    acd): rows whose denominator fully flushed to zero (the shift bound
+    overshot f32's ~85-nat window — activations far outside the
+    normalized regime; any f32 softmax is in range trouble there) are
+    poisoned with NaN instead of returning a silent 0, so NaN guards
+    catch it; without the mask they return 0 like genuinely empty rows.
+    """
+    out, _ = _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty,
+                      interpret, exact)
+    return out
+
+
+def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact):
+    m = _shift_bound(a1, av)
+    U = jnp.concatenate([_pad_to(a1, fwd.u_rows),
+                         _pad_to(a3, fwd.u_rows)], axis=-1)
+    V = _pad_to(av, fwd.v_rows)
+    T = _pad_to(a2, fwd.out_rows)
+    nd = strip_attention_role("fwd", U, V, T, m, fwd, interpret, exact)
+    D = a1.shape[-1]
+    num, den_raw = nd[:, :D], nd[:, D:]
+    den = jnp.maximum(den_raw, 1e-30)
+    out = num / den
+    if nonempty is not None:
+        # measured f32 edge (v5e, f64-oracle buckets): channels with
+        # den >= e^-60 are accurate to <1e-4; below that num/den is
+        # cancellation junk.  Poison, don't silently mis-normalize.
+        bad = _pad_to(nonempty.reshape(-1, 1),
+                      fwd.out_rows) & (den_raw < 1e-26)
+        out = jnp.where(bad, jnp.float32(jnp.nan), out)
+    return out, (a1, a3, av, a2, m, out, den, fwd, dxp, dap, nonempty)
+
+
+def _att_bwd(interpret, exact, res, g):
+    a1, a3, av, a2, m, out, den, fwdp, dxp, dap, nonempty = res
+    D = a1.shape[-1]
+    x_rows = a1.shape[0]
+    e_rows = av.shape[0]
+    gZ = g.astype(jnp.float32)[:den.shape[0]] / den
+    goZ = gZ * out
+    # plans were built with out_rows == x-row padding, so gZ/goZ align
+    # with a2's row space directly
+    T2 = jnp.concatenate([_pad_to(a2.astype(jnp.float32), fwdp.out_rows),
+                          _pad_to(gZ, fwdp.out_rows),
+                          _pad_to(goZ, fwdp.out_rows)], axis=-1)
+    rows13 = max(fwdp.u_rows, dxp.out_rows, dap.u_rows)
+    U13 = jnp.concatenate([_pad_to(a1.astype(jnp.float32), rows13),
+                           _pad_to(a3.astype(jnp.float32), rows13)],
+                          axis=-1)
+    V = _pad_to(av.astype(jnp.float32),
+                max(fwdp.v_rows, dxp.v_rows, dap.out_rows))
+    da2 = strip_attention_role("dw", U13, V, T2, m, fwdp,
+                               interpret, exact)[:x_rows]
+    d13 = strip_attention_role("dc", _pad_to(T2, dxp.u_rows), V,
+                               U13, m, dxp, interpret, exact)[:x_rows]
+    daA = strip_attention_role("dv", U13, _pad_to(T2, dap.v_rows),
+                               V, m, dap, interpret, exact)[:e_rows]
+    da1, da3 = d13[:, :D], d13[:, D:]
+    import numpy as _np
+
+    from .strip_spspmm import _plan_zeros
+    dne = (None if nonempty is None else
+           _np.zeros(nonempty.shape, jax.dtypes.float0))
+    return (da1.astype(a1.dtype), da3.astype(a3.dtype),
+            daA.astype(av.dtype), da2.astype(a2.dtype),
+            _plan_zeros(fwdp), _plan_zeros(dxp), _plan_zeros(dap), dne)
+
+
+fused_attention_strip.defvjp(_att_fwd, _att_bwd)
+
+
+# ---------------------------------------------------------------------------
+# plan building
+# ---------------------------------------------------------------------------
+
+
+def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
+                             D: int = 128, exact: bool = True) -> dict:
+    """Strip geometries for the attention roles: the spspmm autotuner
+    over candidates that (a) fit every role's VMEM (three windows, up
+    to 3D lanes) and (b) use Gv=1 (multi-base bases are not 16-aligned;
+    the attention DMAs are all grouped f32 views)."""
+    from .strip_spspmm import _STRIP_GEOMS, autotune_strip_geoms
+
+    def fits(g):
+        C, R, S, St, Rv = g[:5]
+        gv = g[5] if len(g) > 5 else 1
+        return gv == 1 and all(
+            estimate_att_vmem(role, (C, R, S, St, Rv), D, exact)
+            <= 16 * 1024 * 1024 for role in _ROLE_WIDTHS)
+
+    pool = [g for g in _STRIP_GEOMS if fits(g)]
+    if not pool:
+        pool = [(256, 256, 512, 128, 128, 1)]
+    return autotune_strip_geoms(acd, x_rows, e_rows, x_rows, D=D,
+                                exact=exact, candidates=pool)
+
+
+def build_attention_strip_plans(
+        acd, x_rows: int, e_rows: int, geoms: dict,
+        pad_steps_to: Optional[dict] = None,
+) -> Tuple[StripPlan, StripPlan, StripPlan]:
+    """(fwd/dw, dc, dv) strip plans for fused_attention_strip — exactly
+    the spspmm (fwd, dX, dA) triple on the raw (a, c, d) triples with
+    out_rows = the tuple-row padding (targets a live in X's row space).
+    """
+    from .strip_spspmm import build_spspmm_strip_plans
+
+    plans = build_spspmm_strip_plans(acd, x_rows, e_rows, x_rows, geoms,
+                                     pad_steps_to=pad_steps_to)
+    for p in plans:
+        assert p.Gv == 1, "attention plans need Gv=1 geometries"
+    return plans
