@@ -274,6 +274,10 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
         batch[f"{key}{KEYSEP}plan"] = plans
 
 
+# telemetry: single-launch attention plans that fell back to two-launch
+ATT_PLAN_FALLBACKS = {"count": 0}
+
+
 def add_attention_plans(batch, keys, buckets, geoms_cache,
                         plan_dim: int = 128, plan_kind: str = "strip",
                         single_launch: bool = True):
@@ -328,8 +332,15 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
                         acd, x_rows1, e_rows1, geoms_cache[gname],
                         pad_steps_to=pads)
                 continue
-            except AssertionError:
-                pass  # geometry not coverable: two-launch fallback
+            except AssertionError as ex:
+                # geometry not coverable: two-launch fallback (counted
+                # so runs can attribute the extra launches/recompiles)
+                import warnings
+
+                ATT_PLAN_FALLBACKS["count"] += 1
+                warnings.warn(
+                    f"attention single-launch planner fell back to the "
+                    f"two-launch path for key {key!r}: {ex}")
         x_rows = batch[f"tupleid{op1[1:]}"].shape[1]
         e_rows = (batch["edge_index"].shape[1] if op2 == "A"
                   else batch[f"tupleid{op2[1:]}"].shape[1])
