@@ -58,6 +58,11 @@ __all__ = ["strip_attention_role", "fused_attention_strip",
            "estimate_att_vmem"]
 
 
+# denominator floor: the measured f32 accuracy edge (~e^-60) — below
+# this the forward poisons (with a nonempty mask) and the backward
+# zeroes the channel's cotangent
+_DEN_FLOOR = 1e-26
+
 # role -> (Wu, Wv, Wt, Wout) window lane widths in units of D
 _ROLE_WIDTHS = {
     "fwd": (2, 1, 1, 2),   # u=[a1|a3]  v=[aA]        t=[a2]     out=[num|den]
@@ -395,25 +400,32 @@ def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact):
     nd = strip_attention_role("fwd", U, V, T, m, fwd, interpret, exact)
     D = a1.shape[-1]
     num, den_raw = nd[:, :D], nd[:, D:]
-    den = jnp.maximum(den_raw, 1e-30)
-    out = num / den
+    out = num / jnp.maximum(den_raw, 1e-30)
     if nonempty is not None:
         # measured f32 edge (v5e, f64-oracle buckets): channels with
         # den >= e^-60 are accurate to <1e-4; below that num/den is
         # cancellation junk.  Poison, don't silently mis-normalize.
         bad = _pad_to(nonempty.reshape(-1, 1),
-                      fwd.out_rows) & (den_raw < 1e-26)
+                      fwd.out_rows) & (den_raw < _DEN_FLOOR)
         out = jnp.where(bad, jnp.float32(jnp.nan), out)
-    return out, (a1, a3, av, a2, m, out, den, fwd, dxp, dap, nonempty)
+    return out, (a1, a3, av, a2, m, out, den_raw, fwd, dxp, dap, nonempty)
 
 
 def _att_bwd(interpret, exact, res, g):
-    a1, a3, av, a2, m, out, den, fwdp, dxp, dap, nonempty = res
+    a1, a3, av, a2, m, out, den_raw, fwdp, dxp, dap, nonempty = res
     D = a1.shape[-1]
     x_rows = a1.shape[0]
     e_rows = av.shape[0]
-    gZ = g.astype(jnp.float32)[:den.shape[0]] / den
-    goZ = gZ * out
+    # flush-edge channels (den below the poison floor): 1/den explodes
+    # to ~1e30 and the recomputed in-kernel e times it leaks junk into
+    # every gradient that row's triples touch (measured 1e-2 rel on
+    # da3) — zero their cotangent instead; the forward already poisons
+    # them with NaN under the nonempty mask
+    safe = den_raw >= _DEN_FLOOR
+    gZ = jnp.where(safe,
+                   g.astype(jnp.float32)[:den_raw.shape[0]]
+                   / jnp.maximum(den_raw, 1e-30), 0.0)
+    goZ = jnp.where(safe, gZ * out, 0.0)
     # plans were built with out_rows == x-row padding, so gZ/goZ align
     # with a2's row space directly
     T2 = jnp.concatenate([_pad_to(a2.astype(jnp.float32), fwdp.out_rows),
