@@ -223,6 +223,48 @@ def main():
         f"{sddmm_rows / 1e9:.3f} G rows/s "
         f"({sddmm_rows / sddmm_roof:.2f} of its 3-pass roofline)")
 
+    # ---- single-launch fused attention (NGAT chain) ----------------------
+    # guarded: a failure here must not take down the whole bench
+    att = {}
+    try:
+        from pygho_tpu.kernels.strip_attention import (
+            autotune_attention_geoms, build_attention_strip_plans,
+            fused_attention_strip)
+
+        x_rows_a = int(batch["tupleid"].shape[1])
+        e_rows_a = int(batch["edge_index"].shape[1])
+        ageoms = autotune_attention_geoms(np.asarray(acd), x_rows_a,
+                                          e_rows_a, D=D)
+        aplans = build_attention_strip_plans(np.asarray(acd), x_rows_a,
+                                             e_rows_a, ageoms)
+        a_ops = tuple(jax.device_put(np.random.default_rng(i).normal(
+            size=(n, D)).astype(np.float32) * 0.3)
+            for i, n in enumerate((x_rows_a, x_rows_a, e_rows_a, x_rows_a)))
+
+        @partial(jax.jit, static_argnums=(2,))
+        def att_loop(ops, plans, exact):
+            a1, a3, av, a2 = ops
+
+            def body(i, v):
+                return fused_attention_strip(
+                    v, a3, av, a2, *plans, None, None, exact)[:x_rows_a]
+
+            return jax.lax.fori_loop(0, N_ITER, body, a1)
+
+        for mode, exact in (("exact", True), ("fast", False)):
+            float(jnp.sum(att_loop(a_ops, aplans, exact)))
+            r = min(rtt(), rtt())
+            t0 = time.perf_counter()
+            float(jnp.sum(att_loop(a_ops, aplans, exact)))
+            dt_att = max((time.perf_counter() - t0 - r) / N_ITER, 1e-6)
+            att[f"attention_{mode}_ms"] = dt_att * 1e3
+            att[f"attention_{mode}_rows_per_s"] = acd_rows / dt_att
+            log(f"fused attention single-launch ({mode}): "
+                f"{dt_att * 1e3:.3f} ms -> {acd_rows / dt_att / 1e9:.3f}"
+                f" G rows/s")
+    except Exception as ex:  # pragma: no cover
+        log(f"fused attention bench skipped: {type(ex).__name__}: {ex}")
+
     # ---- dense DD path: the MXU einsum route on the same workload -------
     from pygho_tpu.hodata import Mapretransform, collate_dense
     from pygho_tpu.hodata.ma_data import batch_to_dense_dict
@@ -389,6 +431,7 @@ def main():
             "train_rows_per_s": step_rows,
             "acd_rows": acd_rows,
             "platform": str(dev),
+            **att,
         },
     }))
 
