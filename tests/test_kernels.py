@@ -910,3 +910,42 @@ def test_strip_attention_underflow_is_loud_not_silent(rng):
     ok = ~flushed & np.asarray(nonempty)
     if ok.any():   # at this scale most (often all) rows flush
         assert maxdiff(want[ok], got[ok]) < 2e-4
+
+
+def test_attention_planner_fallback_is_counted(rng):
+    """When the single-launch attention planner cannot cover the
+    geometry (here: a Gv>1 geometry seeded in the cache), the loader
+    falls back to the two-launch plans, increments the telemetry
+    counter, and the model still runs the fused path."""
+    import warnings
+
+    from pygho_tpu.hodata import Sppretransform, SpDataloader
+    from pygho_tpu.hodata import loader as loader_mod
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+
+    m = make_sp_model("NGAT", num_layer=1, hiddim=128,
+                      mlp={"norm": "none"})
+    m.eval()
+    keys = parse_precomputekey(m)
+    datas = [Sppretransform(KhopSampler, [""], keys)(g)
+             for g in synthetic_zinc("train", 4)]
+    dl = SpDataloader(datas, 4, keys, device_put=False, prefetch=0,
+                      attention_plans=True, plan_dim=128)
+    # seed an illegal Gv=2 geometry so build_attention_strip_plans
+    # asserts and the planner takes the fallback branch
+    key = [k for k in keys if k][0]
+    dl._geoms[f"att1{key}"] = {
+        r: (64, 128, 256, 128, 128, 2) for r in ("fwd", "dx", "da")}
+    before = loader_mod.ATT_PLAN_FALLBACKS["count"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ba = next(iter(dl))
+    assert loader_mod.ATT_PLAN_FALLBACKS["count"] == before + 1
+    assert not any(k.endswith("___attplan1") for k in ba)
+    assert any(k.endswith("___attplan") for k in ba)
+    o = np.asarray(m(batch_to_sparse_dict(ba)))
+    assert np.isfinite(o).all()
