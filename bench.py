@@ -137,7 +137,12 @@ def main():
         # the plan is a jit ARGUMENT: closure capture would inline its
         # index arrays as HLO constants (large literals burden the
         # remote compiler; the training path ships plans in the batch)
+        # (A/B'd 2026-08-19 at N=1000: arg vs constant time identically)
         plan_dev = jax.device_put(fwd_plan)
+        # sub-ms kernels need the loop to dominate the ~31 ms tunnel
+        # RTT being subtracted, or readings scatter 2-3x (measured):
+        # 500 iterations puts 0.1-0.3 s of device time per rep
+        N_K = 5 * N_ITER
 
         @jax.jit
         def floop(Xp, Ap, plan):
@@ -149,7 +154,7 @@ def main():
                      jnp.zeros((u_rows - nnz_pad, D),
                                jnp.float32)]) \
                     if u_rows != nnz_pad else o[:nnz_pad]
-            return jax.lax.fori_loop(0, N_ITER, body, Xp)
+            return jax.lax.fori_loop(0, N_K, body, Xp)
 
         float(jnp.sum(floop(Xp0, Ap0, plan_dev)))
         r = min(rtt(), rtt())
@@ -157,8 +162,8 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             float(jnp.sum(floop(Xp0, Ap0, plan_dev)))
-            ts.append((time.perf_counter() - t0 - r) / N_ITER)
-        dtf = min(ts)
+            ts.append((time.perf_counter() - t0 - r) / N_K)
+        dtf = sorted(ts)[len(ts) // 2]
         log(f"{tag}: {dtf * 1e3:.3f} ms -> "
             f"{acd_rows / dtf / 1e9:.3f} G rows/s")
         return dtf
