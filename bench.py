@@ -246,25 +246,44 @@ def main():
             size=(n, D)).astype(np.float32) * 0.3)
             for i, n in enumerate((x_rows_a, x_rows_a, e_rows_a, x_rows_a)))
 
+        from pygho_tpu.kernels.strip_attention import (_pad_to,
+                                                       _shift_bound,
+                                                       strip_attention_role)
+
+        N_ATT = 2 * N_ITER
+
         @partial(jax.jit, static_argnums=(2,))
-        def att_loop(ops, plans, exact):
+        def att_loop(ops, plan, exact):
+            # time the fwd ROLE itself (gathers + exp + num/den
+            # scatter); a scalar write-back chains iterations at ~zero
+            # cost — the full wrapper adds per-call operand concats and
+            # the shift reduction, which the e2e epoch numbers cover
             a1, a3, av, a2 = ops
+            m = _shift_bound(a1, av)
+            U0 = jnp.concatenate([_pad_to(a1, plan.u_rows),
+                                  _pad_to(a3, plan.u_rows)], axis=-1)
+            V = _pad_to(av, plan.v_rows)
+            T = _pad_to(a2, plan.out_rows)
 
-            def body(i, v):
-                return fused_attention_strip(
-                    v, a3, av, a2, *plans, None, None, exact)[:x_rows_a]
+            def body(i, U):
+                nd = strip_attention_role("fwd", U, V, T, m, plan,
+                                          False, exact)
+                return U.at[0, 0].set(nd[0, 0])
 
-            return jax.lax.fori_loop(0, N_ITER, body, a1)
+            return jax.lax.fori_loop(0, N_ATT, body, U0)
 
         for mode, exact in (("exact", True), ("fast", False)):
-            float(jnp.sum(att_loop(a_ops, aplans, exact)))
+            float(jnp.sum(att_loop(a_ops, aplans[0], exact)))
             r = min(rtt(), rtt())
-            t0 = time.perf_counter()
-            float(jnp.sum(att_loop(a_ops, aplans, exact)))
-            dt_att = max((time.perf_counter() - t0 - r) / N_ITER, 1e-6)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jnp.sum(att_loop(a_ops, aplans[0], exact)))
+                ts.append((time.perf_counter() - t0 - r) / N_ATT)
+            dt_att = max(sorted(ts)[1], 1e-6)
             att[f"attention_{mode}_ms"] = dt_att * 1e3
             att[f"attention_{mode}_rows_per_s"] = acd_rows / dt_att
-            log(f"fused attention single-launch ({mode}): "
+            log(f"fused attention fwd role ({mode}): "
                 f"{dt_att * 1e3:.3f} ms -> {acd_rows / dt_att / 1e9:.3f}"
                 f" G rows/s")
     except Exception as ex:  # pragma: no cover
