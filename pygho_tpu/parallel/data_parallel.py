@@ -38,6 +38,7 @@ def collate_sharded_sparse(
     plan_geometry="autotune",
     plan_dim: int = 128,
     geoms_cache: Optional[Dict[str, Any]] = None,
+    attention_plans: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Collate D independent sub-batches and stack on a leading device
     axis.  Shared ``buckets`` force identical padded shapes across the
@@ -95,6 +96,28 @@ def collate_sharded_sparse(
         # every shard (the fused path falls back to XLA for that key)
         for k in [k for k in list(shards[0]) if k.endswith("___plan")]:
             if not all(k in s for s in shards):
+                for s in shards:
+                    s.pop(k, None)
+    if attention_plans:
+        from ..hodata.loader import add_attention_plans
+
+        gc = geoms_cache if geoms_cache is not None else {}
+        # same two-pass discipline as the spspmm plans: settle shared
+        # geometry + step buckets, then rebuild at the final padding so
+        # the StripPlan pytrees stack on the device axis
+        for _ in range(2):
+            for s in shards:
+                add_attention_plans(s, keys, buckets, gc, plan_dim)
+        for k in [k for k in list(shards[0])
+                  if k.endswith("___attplan1") or k.endswith("___attplan")]:
+            drop = not all(k in s for s in shards)
+            if not drop:
+                # stacking also needs identical pytree meta (geometry,
+                # launch splits) across shards
+                t0 = jax.tree.structure(shards[0][k])
+                drop = any(jax.tree.structure(s[k]) != t0
+                           for s in shards[1:])
+            if drop:
                 for s in shards:
                     s.pop(k, None)
     out = {}

@@ -133,6 +133,31 @@ def test_dp_fused_plans_match_xla():
     assert abs(float(l0) - float(l1)) < 1e-4, (float(l0), float(l1))
 
 
+def test_dp_attention_plans_match_xla():
+    """collate_sharded_sparse(attention_plans=True) stacks the
+    single-launch attention StripPlan triples on the device axis; the
+    NGAT dp step matches the XLA dp step."""
+    model = make_sp_model("NGAT", num_layer=1, hiddim=128,
+                          mlp={"norm": "none", "act": "relu"})
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=16)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    mesh = make_mesh((8,), ("dp",))
+    opt = make_optimizer(model, 1e-2)
+    graphdef, state = nnx.split((model, opt))
+    step = make_dp_train_step(mesh, graphdef)
+
+    buckets = {}
+    plain = collate_sharded_sparse(datas, 8, 2, keys, buckets=buckets)
+    att = collate_sharded_sparse(datas, 8, 2, keys, buckets=buckets,
+                                 attention_plans=True)
+    assert any(k.endswith("___attplan1") for k in att), list(att)
+    _, l0 = step(state, plain)
+    _, l1 = step(state, att)
+    assert abs(float(l0) - float(l1)) < 1e-4, (float(l0), float(l1))
+
+
 def test_dp_matches_single_device_first_step():
     """One DP step over 8 shards == one single-device step over the same
     64 graphs (grads are exact means since every shard has equal graph
