@@ -84,6 +84,7 @@ def _fused_spmamm(A: SparseTensor, dim1: int, B: MaskedTensor, dim2: int,
     (t, u, v) triples (kernels/fused_spmamm.py).  sum/mean, vector edge
     values matching B's feature dim."""
     from ..kernels.fused_spspmm import fused_spspmm, get_fused_math
+    from ..kernels.strip_spspmm import StripPlan, fused_spspmm_strip
 
     bsz, n = A.sparse_shape[0], B.data.shape[dim2]
     md = B.masked_dim
@@ -93,9 +94,11 @@ def _fused_spmamm(A: SparseTensor, dim1: int, B: MaskedTensor, dim2: int,
     flat = perm.reshape((-1,) + dense_shape)
     rows = flat.shape[0]
     fwd, dxp, dap = plans
-    out_flat = fused_spspmm(A.values.astype(jnp.float32),
-                            flat.astype(jnp.float32),
-                            fwd, dxp, dap, None, get_fused_math())[:rows]
+    run = (fused_spspmm_strip if isinstance(fwd, StripPlan)
+           else fused_spspmm)
+    out_flat = run(A.values.astype(jnp.float32),
+                   flat.astype(jnp.float32),
+                   fwd, dxp, dap, None, get_fused_math())[:rows]
     out = out_flat.reshape(perm.shape[:md] + dense_shape).astype(B.data.dtype)
     out = jnp.moveaxis(out, md - 1, dim2)
     if aggr == "mean":

@@ -100,6 +100,7 @@ def build_spmamm_plans(
     geometry="autotune",
     pad_chunks_to: Optional[int] = None,
     tuv: Optional[np.ndarray] = None,
+    kind: str = "chunk",
 ) -> Tuple[ChunkPlan, ChunkPlan, ChunkPlan]:
     """Host-build (fwd, dAval, dB) chunk plans for a fused spmamm.
 
@@ -118,6 +119,19 @@ def build_spmamm_plans(
     if tuv is None:
         tuv = spmamm_triples(A_indices, dim1, n_pad, node_counts, n_extra)
     rows = bsz * n_pad ** (masked_ndim - 1)
+    if kind == "strip":
+        # v2 strip kernel (backend.spmamm dispatches on the plan type)
+        from .strip_spspmm import (autotune_strip_geoms,
+                                   build_spspmm_strip_plans)
+
+        if isinstance(geometry, dict):
+            geoms = geometry
+        elif geometry in ("autotune", "auto"):
+            geoms = autotune_strip_geoms(tuv, nnz_pad, rows, rows, D=D)
+        else:
+            geoms = {"fwd": geometry, "dx": geometry, "da": geometry}
+        return build_spspmm_strip_plans(tuv, nnz_pad, rows, rows, geoms,
+                                        pad_steps_to=pad_chunks_to)
     if isinstance(geometry, dict):
         geoms = geometry
     elif geometry == "autotune":

@@ -949,3 +949,52 @@ def test_attention_planner_fallback_is_counted(rng):
     assert any(k.endswith("___attplan") for k in ba)
     o = np.asarray(m(batch_to_sparse_dict(ba)))
     assert np.isfinite(o).all()
+
+
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+def test_fused_spmamm_strip_plans_match(rng, aggr):
+    """build_spmamm_plans(kind='strip') emits StripPlan triples that
+    backend.spmamm routes to the v2 strip kernel — fwd + gradients
+    match the gather path."""
+    from pygho_tpu.backend.matensor import MaskedTensor
+    from pygho_tpu.backend.spmamm import spmamm, set_dense_spmamm
+    from pygho_tpu.kernels import build_spmamm_plans
+    from pygho_tpu.kernels.strip_spspmm import StripPlan
+
+    bsz, n, d, mnd = 3, 10, 128, 3
+    A, counts = _sd_case(rng, bsz, n, d)
+    mshape = (bsz, n, n)
+    mask = np.zeros(mshape, bool)
+    for g in range(bsz):
+        mask[g, :counts[g], :counts[g]] = True
+    Bdata = jnp.asarray(rng.normal(size=mshape + (d,)).astype(np.float32))
+    maskj = jnp.asarray(mask)
+    B = MaskedTensor(Bdata, maskj)
+
+    plans = build_spmamm_plans(np.asarray(A.indices), A.nnz_pad, 1, n,
+                               bsz, mnd, counts, D=d,
+                               geometry=(64, 128, 256, 128, 128),
+                               kind="strip")
+    assert all(isinstance(p, StripPlan) for p in plans)
+    set_dense_spmamm(False)
+    try:
+        ref = spmamm(A, 1, B, 2, aggr=aggr)
+    finally:
+        set_dense_spmamm(True)
+    got = spmamm(A, 1, B, 2, aggr=aggr, plans=plans)
+    assert maxdiff(got.data * got.fullmask, ref.data * ref.fullmask) < 1e-4
+
+    if aggr == "sum":
+        def loss(av, bd, p):
+            A2 = SparseTensor(A.indices, av, A.nnz, A.sparse_shape)
+            out = spmamm(A2, 1, MaskedTensor(bd, maskj), 2, plans=p)
+            return (out.fill_masked(0.0) ** 2).sum()
+
+        g1 = jax.grad(loss, (0, 1))(A.values, Bdata, plans)
+        set_dense_spmamm(False)
+        try:
+            g2 = jax.grad(loss, (0, 1))(A.values, Bdata, None)
+        finally:
+            set_dense_spmamm(True)
+        assert maxdiff(g1[0], g2[0]) < 1e-4
+        assert maxdiff(g1[1], g2[1]) < 1e-4
