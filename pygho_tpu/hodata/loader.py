@@ -437,6 +437,7 @@ class MaDataloader(_BaseLoader):
                  build_plans: bool = False,
                  plan_dims: Sequence[tuple] = ((1, 2),),
                  plan_geometry="autotune", plan_dim: int = 128,
+                 plan_kind: str = "chunk",
                  **kw):
         super().__init__(dataset, batch_size, **kw)
         self.annotate = tuple(annotate)
@@ -445,6 +446,9 @@ class MaDataloader(_BaseLoader):
         self.plan_dims = tuple(tuple(p) for p in plan_dims)
         self.plan_geometry = plan_geometry
         self.plan_dim = plan_dim
+        # "chunk" (v1, the SD default: flat-output fill favors it at
+        # molecule scale) | "strip" (v2, giant-graph SD workloads)
+        self.plan_kind = plan_kind
         self._geoms: Dict[str, tuple] = {}
         self._plan_skip: Dict[str, bool] = {}
 
@@ -478,15 +482,22 @@ class MaDataloader(_BaseLoader):
                                  counts, mnd - 2)
             geom = self.plan_geometry
             if geom == "autotune":
-                gname = f"tuned{key}"
+                gname = f"tuned{self.plan_kind}{key}"
                 if gname not in self._geoms:
                     rows = bsz * n_pad ** (mnd - 1)
-                    self._geoms[gname] = autotune_spspmm_geoms(
-                        tuv, nnz_pad, rows, rows, D=self.plan_dim)
+                    if self.plan_kind == "strip":
+                        from ..kernels.strip_spspmm import \
+                            autotune_strip_geoms
+                        self._geoms[gname] = autotune_strip_geoms(
+                            tuv, nnz_pad, rows, rows, D=self.plan_dim)
+                    else:
+                        self._geoms[gname] = autotune_spspmm_geoms(
+                            tuv, nnz_pad, rows, rows, D=self.plan_dim)
                 geom = self._geoms[gname]
             plans = build_spmamm_plans(
                 batch["A_indices"], nnz_pad, dim1, n_pad, bsz, mnd,
-                counts, D=self.plan_dim, geometry=geom, tuv=tuv)
+                counts, D=self.plan_dim, geometry=geom, tuv=tuv,
+                kind=self.plan_kind)
             # fill guard: the flat SD output space is mostly padding at
             # molecule scale, which caps chunks at ~1 output block each
             # (measured: fused 2.5 ms vs densify 0.73 ms on ZINC SD).
@@ -500,13 +511,22 @@ class MaDataloader(_BaseLoader):
                     > 2 * max(tuv.shape[1], 1))
             if self._plan_skip[key]:
                 continue
-            n = max(p.n_chunks for p in plans)
-            pad = max(bucket_size(n, 8), self.buckets.get(f"plan{key}", 0))
-            self.buckets[f"plan{key}"] = pad
+            if self.plan_kind == "strip":
+                pad = {}
+                for role, pp in zip(("fwd", "dx", "da"), plans):
+                    pk = f"plan{key}{role}"
+                    pad[role] = max(bucket_size(pp.n_steps, 8),
+                                    self.buckets.get(pk, 0))
+                    self.buckets[pk] = pad[role]
+            else:
+                n = max(p.n_chunks for p in plans)
+                pad = max(bucket_size(n, 8),
+                          self.buckets.get(f"plan{key}", 0))
+                self.buckets[f"plan{key}"] = pad
             plans = build_spmamm_plans(
                 batch["A_indices"], nnz_pad, dim1, n_pad, bsz, mnd,
                 counts, D=self.plan_dim, geometry=geom, pad_chunks_to=pad,
-                tuv=tuv)
+                tuv=tuv, kind=self.plan_kind)
             batch[key] = plans
 
 

@@ -166,6 +166,40 @@ def test_sd_mode_fused_plans_match_unfused():
     assert np.abs(np.asarray(p0) - np.asarray(p1)).max() < 1e-3
 
 
+def test_sd_mode_strip_plans_match_unfused():
+    """MaDataloader(plan_kind='strip') builds StripPlan triples for the
+    SD spmamm contractions; model forward matches the unfused path."""
+    from pygho_tpu.honn import parse_spmamm_dims
+    from pygho_tpu.hodata.ma_data import batch_to_dense_dict
+    from pygho_tpu.backend.spmamm import set_dense_spmamm
+    from pygho_tpu.kernels.strip_spspmm import StripPlan
+
+    model = make_ma_model("NGNN", num_layer=2, hiddim=128, mode="SD",
+                          aggr="sum", mlp=dict(MLPD))
+    dims = parse_spmamm_dims(model)
+    graphs = synthetic_zinc("train", n_graphs=8)
+    pre = Mapretransform(spdsampler, [""])
+    datas = [pre(g) for g in graphs]
+    dl0 = MaDataloader(datas, 8, denseadj=False, device_put=False,
+                       prefetch=0)
+    dl1 = MaDataloader(datas, 8, denseadj=False, device_put=False,
+                       prefetch=0, build_plans=True, plan_dims=dims,
+                       plan_geometry=(64, 128, 256, 128, 128),
+                       plan_dim=128, plan_kind="strip")
+    b0, b1 = next(iter(dl0)), next(iter(dl1))
+    pk = [k for k in b1 if k.endswith("___plan")]
+    assert pk, list(b1)
+    assert all(isinstance(p, StripPlan) for p in b1[pk[0]])
+    model.eval()
+    set_dense_spmamm(False)
+    try:
+        p0 = model(batch_to_dense_dict(b0))
+        p1 = model(batch_to_dense_dict(b1))
+    finally:
+        set_dense_spmamm(True)
+    assert np.abs(np.asarray(p0) - np.asarray(p1)).max() < 1e-3
+
+
 def test_dense_classification_steps():
     from pygho_tpu.models.training import make_dense_classification_steps
 
