@@ -856,14 +856,20 @@ jax.tree_util.register_dataclass(
 
 def build_fused_overlapped_shard_plan(
         acd: np.ndarray, nnz_pad: int, P_: int, n_edge_rows: int,
-        D: int = 128, geoms: Optional[dict] = None,
+        D: int = 128, geoms: Optional[dict] = None, kind: str = "chunk",
 ) -> FusedOverlappedShardPlan:
     """Build the v3 partition plus per-shard fused-kernel plans.
 
     ``n_edge_rows`` is the (padded) row count of the edge-value operand
     Av; ``D`` the feature dim the cost model autotunes for (the kernel
     itself requires D % 128 == 0 at run time).  ``geoms`` overrides the
-    per-role geometry dict (build_spspmm_plans_for format)."""
+    per-role geometry dict (build_spspmm_plans_for format).
+
+    ``kind``: "chunk" (v1) or "strip" (v2).  Strip plans stack across
+    shards only while every padded shard fits ONE kernel launch
+    (identical launch_splits are part of the pytree meta); a shard
+    needing Mosaic's multi-launch split falls the whole build back to
+    chunk plans with a warning."""
     from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
                                         autotune_spspmm_geoms,
                                         build_spspmm_plans_for)
@@ -877,7 +883,7 @@ def build_fused_overlapped_shard_plan(
         return [np.stack([arr[p, :, 0], arr[p, :, 1], arr[p, :, 2]])
                 .astype(np.int64) for p in range(P_)]
 
-    def plans_for(tris, u_rows):
+    def plans_for_chunk(tris, u_rows):
         g = geoms
         if g is None:
             counts = [int(np.sum(t[0] < PAD_INDEX)) for t in tris]
@@ -897,10 +903,55 @@ def build_fused_overlapped_shard_plan(
         return jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
 
-    loc_plans = plans_for(tris_of(base.acd_loc), B)
-    bnd_plans = plans_for(tris_of(base.acd_bnd), pool_rows)
+    def plans_for_strip(tris, u_rows):
+        from ..kernels.strip_spspmm import (_MAX_GRID_STEPS,
+                                            autotune_strip_geoms,
+                                            build_spspmm_strip_plans)
+
+        g = geoms
+        if g is None:
+            counts = [int(np.sum(t[0] < PAD_INDEX)) for t in tris]
+            gd = (256, 256, 512, 128, 128)
+            g = ({"fwd": gd, "dx": gd, "da": gd} if max(counts) == 0
+                 else autotune_strip_geoms(
+                     tris[int(np.argmax(counts))], u_rows, n_edge_rows,
+                     B, D=D))
+        built = [build_spspmm_strip_plans(t, u_rows, n_edge_rows, B, g)
+                 for t in tris]
+        pads = {role: max(ps[i].n_steps for ps in built)
+                for i, role in enumerate(("fwd", "dx", "da"))}
+        if max(pads.values()) > _MAX_GRID_STEPS:
+            raise _StripUnstackable(
+                f"a shard's strip plan needs {max(pads.values())} steps "
+                f"(> {_MAX_GRID_STEPS} single-launch ceiling)")
+        built = [build_spspmm_strip_plans(t, u_rows, n_edge_rows, B, g,
+                                          pad_steps_to=pads)
+                 for t in tris]
+        return jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
+
+    plans_for = plans_for_strip if kind == "strip" else plans_for_chunk
+    try:
+        loc_plans = plans_for(tris_of(base.acd_loc), B)
+        bnd_plans = plans_for(tris_of(base.acd_bnd), pool_rows)
+    except (_StripUnstackable, AssertionError) as ex:
+        # AssertionError: the strip planner itself refused the geometry
+        # (e.g. one output block alone exceeds the grid ceiling)
+        if kind != "strip":
+            raise
+        import warnings
+
+        warnings.warn(f"v7 strip plans not stackable ({ex}); "
+                      f"falling back to chunk plans")
+        loc_plans = plans_for_chunk(tris_of(base.acd_loc), B)
+        bnd_plans = plans_for_chunk(tris_of(base.acd_bnd), pool_rows)
     return FusedOverlappedShardPlan(base=base, loc_plans=tuple(loc_plans),
                                     bnd_plans=tuple(bnd_plans))
+
+
+class _StripUnstackable(Exception):
+    """A shard's strip plan exceeds the single-launch grid ceiling, so
+    per-shard launch_splits would diverge and the pytrees can't stack."""
 
 
 def _fused_overlapped_contract(h, Av, send_row, lp, bp, B, axis):
@@ -910,15 +961,18 @@ def _fused_overlapped_contract(h, Av, send_row, lp, bp, B, axis):
     fused_spspmm (custom VJP; the all_gather's transpose routes the
     pool's gradient back to its owners)."""
     from ..kernels.fused_spspmm import fused_spspmm, get_fused_math
+    from ..kernels.strip_spspmm import StripPlan, fused_spspmm_strip
 
     pool = jax.lax.all_gather(h[send_row], axis)       # (P, Bnd, D)
     flat = pool.reshape(-1, h.shape[-1])
     exact = get_fused_math()
+    run = (fused_spspmm_strip if isinstance(lp[0], StripPlan)
+           else fused_spspmm)
     h32 = h.astype(jnp.float32)
     av32 = Av.astype(jnp.float32)
-    out = fused_spspmm(h32, av32, lp[0], lp[1], lp[2], None, exact)[:B]
-    outb = fused_spspmm(flat.astype(jnp.float32), av32,
-                        bp[0], bp[1], bp[2], None, exact)[:B]
+    out = run(h32, av32, lp[0], lp[1], lp[2], None, exact)[:B]
+    outb = run(flat.astype(jnp.float32), av32,
+               bp[0], bp[1], bp[2], None, exact)[:B]
     return (out + outb).astype(h.dtype)
 
 

@@ -286,6 +286,53 @@ def test_fused_overlapped_tuple_parallel_matches_spspmm(rng):
     assert maxdiff(got, ref.values) < 1e-5
 
 
+def test_fused_overlapped_strip_plans_match_spspmm(rng):
+    """v7 with kind='strip': per-shard strip plans stack on the device
+    axis (single-launch invariant) and match the single-device spspmm.
+    Oversized shards fall back to chunk plans with a warning."""
+    import warnings
+
+    from pygho_tpu.kernels.strip_spspmm import StripPlan
+    from pygho_tpu.parallel.tuple_parallel import (
+        build_fused_overlapped_shard_plan, make_fused_overlapped_spspmm)
+    from utils import random_sparse
+
+    n, d = 16, 8
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
+    acd = indexing.filterind(indX, tar, bcd)
+    acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1], 256))
+    ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
+
+    mesh = make_mesh((8,), ("sp",))
+    g = (64, 128, 128, 64, 128)
+    plan = build_fused_overlapped_shard_plan(
+        acd_p, X.nnz_pad, 8, A.values.shape[0], D=d,
+        geoms={r: g for r in ("fwd", "dx", "da")}, kind="strip")
+    assert isinstance(jax.tree.leaves(plan.loc_plans)[0], jax.Array)
+    # per-shard plan is a StripPlan pytree (leading device axis on leaves)
+    run = make_fused_overlapped_spspmm(mesh, plan)
+    got = run(X.values, A.values)
+    assert maxdiff(got, ref.values) < 1e-5
+
+    # fallback: force the single-launch ceiling down so strip can't stack
+    import pygho_tpu.kernels.strip_spspmm as ss
+    saved = ss._MAX_GRID_STEPS
+    ss._MAX_GRID_STEPS = 1
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            plan2 = build_fused_overlapped_shard_plan(
+                acd_p, X.nnz_pad, 8, A.values.shape[0], D=d,
+                geoms={r: g for r in ("fwd", "dx", "da")}, kind="strip")
+        assert any("falling back" in str(x.message) for x in w)
+    finally:
+        ss._MAX_GRID_STEPS = saved
+    got2 = make_fused_overlapped_spspmm(mesh, plan2)(X.values, A.values)
+    assert maxdiff(got2, ref.values) < 1e-5
+
+
 def test_ring_tuple_parallel_matches_spspmm(rng):
     """v5 ppermute-ring boundary exchange == single-device spspmm."""
     from pygho_tpu.parallel.tuple_parallel import (build_ring_shard_plan,
