@@ -333,7 +333,15 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
     Rvs = Rv // Gv
     G = S // St
     K = t.shape[0]
-    R_eff = R  # bf16 alignment is not supported on the multi-window path
+    # align sub-window bases like the single-window path (rounding a
+    # base DOWN only extends coverage downward), so grouped 16-row DMA
+    # views stay legal and bf16 operands skip the f32 upcast; the u cut
+    # uses the effective range R - (align-1) to absorb the rounding
+    al = base_align if (base_align > 1 and Rvs % base_align == 0
+                        and R % base_align == 0
+                        and u_rows % base_align == 0
+                        and v_rows % base_align == 0) else 1
+    R_eff = R - (al - 1)
     n_blocks = out_rows // S
 
     # (strip, rows, ubase, vbases[Gv], t/u/v locals) per sub-chunk
@@ -356,7 +364,7 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
         for idx, val in enumerate(uniq):
             if cur_base is None or val > cur_base + Rvs - 1:
                 rid += 1
-                cur_base = int(min(val, v_rows - Rvs))
+                cur_base = int(min(val - val % al, v_rows - Rvs))
                 bases.append(cur_base)
             run_of_uniq[idx] = rid
         run_of = run_of_uniq[np.searchsorted(uniq, vs)]
@@ -381,7 +389,7 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
                 end = start + (int(bad[0]) if len(bad) else
                                (end_max - start))
                 assert end > start
-                ubase_c = int(min(umin, u_rows - R))
+                ubase_c = int(min(umin - umin % al, u_rows - R))
                 subs.append((strip,
                              (tb[start:end] - strip * St).astype(np.int32),
                              (ub[start:end] - ubase_c).astype(np.int32),
@@ -429,7 +437,7 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
     return StripPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
-        u_rows=u_rows, v_rows=v_rows, u_align=1, v_align=1, Gv=Gv,
+        u_rows=u_rows, v_rows=v_rows, u_align=al, v_align=al, Gv=Gv,
         launch_splits=_launch_splits(oblk, n_blocks))
 
 
@@ -523,7 +531,10 @@ def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
                                       Rv // gv)])
                 return pltpu.make_async_copy(src, vbuf.at[buf, g],
                                              sems.at[buf, g, 1])
-            src = v_hbm.at[pl.ds(vbase_ref[step, g, w], Rvs)]
+            src = (v_hbm.at[pl.ds(vbase_ref[step, g, w], Rvs)]
+                   if gv == 1 else
+                   v_hbm.at[pl.ds(vbase_ref[step, g, w] // gv,
+                                  Rvs // gv)])
             return pltpu.make_async_copy(src, vbuf.at[buf, g, w],
                                          sems.at[buf, g, 1 + w])
 
@@ -589,17 +600,18 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
 
     Gv = plan.Gv
 
-    def grouping(x, align, win, multi=False):
+    def grouping(x, align, win):
         if x.dtype != jnp.bfloat16:
             return x, 1
-        if multi or align % 16 or win % 16:
-            # multi-base sub-windows keep the plain layout (bases are
-            # not 16-aligned); upcast for DMA-legal dynamic slices
+        if align % 16 or win % 16:
+            # unaligned plan bases (or a sub-16 DMA unit): upcast for
+            # DMA-legal dynamic slices
             return x.astype(jnp.float32), 1
         return x[: (x.shape[0] // 16) * 16].reshape(-1, 16, x.shape[-1]), 16
 
     U, gu = grouping(U, plan.u_align, R)
-    V, gv = grouping(V, plan.v_align, Rv, multi=Gv > 1)
+    # the v DMA unit is the sub-window height when Gv > 1
+    V, gv = grouping(V, plan.v_align, Rv // Gv)
     if not interpret:
         assert D % 128 == 0, (
             f"strip kernel needs a feature dim that is a multiple of 128 "
@@ -635,7 +647,9 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
                            (2, G, R // gu, gu, D), U.dtype),
                 pltpu.VMEM((2, G, Rv, D) if (gv == 1 and Gv == 1) else
                            ((2, G, Rv // gv, gv, D) if Gv == 1 else
-                            (2, G, Gv, Rv // Gv, D)), V.dtype),
+                            ((2, G, Gv, Rv // Gv, D) if gv == 1 else
+                             (2, G, Gv, Rv // Gv // gv, gv, D))),
+                           V.dtype),
                 pltpu.SemaphoreType.DMA((2, G, 1 + Gv)),
             ],
         )

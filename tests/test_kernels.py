@@ -998,3 +998,41 @@ def test_fused_spmamm_strip_plans_match(rng, aggr):
             set_dense_spmamm(True)
         assert maxdiff(g1[0], g2[0]) < 1e-4
         assert maxdiff(g1[1], g2[1]) < 1e-4
+
+
+def test_multiwindow_v_bf16_grouped(rng):
+    """Gv > 1 with bf16 operands: the 16-aligned sub-window bases make
+    grouped DMA views legal, so bf16 values feed the kernel directly
+    (no f32 upcast) and match the f32 path to bf16 tolerance."""
+    from pygho_tpu.kernels.strip_spspmm import (build_spspmm_strip_plans,
+                                                fused_spspmm_strip)
+
+    n_out, n_u, n_v, D = 512, 512, 1024, 128
+    K = 4096
+    a = np.sort(rng.integers(0, n_out, K))
+    c = rng.integers(0, n_u, K)
+    d = rng.integers(0, n_v, K)
+    acd = np.stack([a, c, d]).astype(np.int64)
+    Uf = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    Vf = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+    g6 = (128, 512, 512, 128, 256, 8)
+    pm = build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                  {"fwd": g6, "dx": g6, "da": g6})
+    assert pm[0].Gv == 8 and pm[0].v_align == 16 and pm[0].u_align == 16
+    assert np.all(np.asarray(pm[0].vbase) % 16 == 0)
+    assert np.all(np.asarray(pm[0].ubase) % 16 == 0)
+    ref = np.asarray(fused_spspmm_strip(Uf, Vf, *pm, True)[:n_out])
+    Ub, Vb = Uf.astype(jnp.bfloat16), Vf.astype(jnp.bfloat16)
+    got = np.asarray(fused_spspmm_strip(Ub, Vb, *pm, True, False)[:n_out])
+    rel = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-2, rel
+    g = jax.grad(lambda u, v: (fused_spspmm_strip(u, v, *pm, True, False)
+                               .astype(jnp.float32) ** 2).sum(),
+                 (0, 1))(Ub, Vb)
+    gf = jax.grad(lambda u, v: (fused_spspmm_strip(u, v, *pm, True)
+                                ** 2).sum(), (0, 1))(Uf, Vf)
+    for x, y in zip(g, gf):
+        rel = np.abs(np.asarray(x, np.float32)
+                     - np.asarray(y)).max() / (np.abs(np.asarray(y)).max()
+                                               + 1e-9)
+        assert rel < 5e-2, rel
