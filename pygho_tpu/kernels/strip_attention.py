@@ -466,8 +466,10 @@ def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
                              D: int = 128, exact: bool = True) -> dict:
     """Strip geometries for the attention roles: the spspmm autotuner
     over candidates that (a) fit every role's VMEM (three windows, up
-    to 3D lanes) and (b) use Gv=1 (multi-base bases are not 16-aligned;
-    the attention DMAs are all grouped f32 views)."""
+    to 3D lanes) and (b) use Gv=1 (the attention kernel's v_copy does
+    not issue multi-base sub-window DMAs yet; the spspmm kernel's Gv
+    path gained 16-aligned bases 2026-08-19, so extending attention to
+    Gv>1 is now only kernel plumbing — round-3 item)."""
     from .strip_spspmm import _STRIP_GEOMS, autotune_strip_geoms
 
     def fits(g):
