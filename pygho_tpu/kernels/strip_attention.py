@@ -151,14 +151,17 @@ def _att_math(role, tuv, uw, vw, tw, m, C, R, St, Rv, exact):
 
 
 def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
-                exact: bool):
+                exact: bool, Gv: int = 1):
     """Double-buffered attention strip kernel: u/v window DMAs plus a
     strip-side DMA of the t-operand's own St rows per sub-chunk (base =
-    oblk*S + g*St, derived from the scalar-prefetched oblk)."""
+    oblk*S + g*St, derived from the scalar-prefetched oblk).  ``Gv``:
+    the v window fills from Gv disjoint sub-window DMAs (multi-base
+    windows; 16-aligned bases since 2026-08-19)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = S // St
+    Rvs = Rv // Gv
 
     def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, m_ref,
                u_hbm, v_hbm, t_hbm, o_ref, ubuf, vbuf, tbuf, sems):
@@ -176,23 +179,29 @@ def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
                 u_hbm.at[pl.ds(ubase_ref[step, g] // 16, R // 16)],
                 ubuf.at[buf, g], sems.at[buf, g, 0])
 
-        def v_copy(step, buf, g):
+        def v_copy(step, buf, g, w=0):
+            if Gv == 1:
+                return pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(vbase_ref[step, g, 0] // 16,
+                                   Rv // 16)],
+                    vbuf.at[buf, g], sems.at[buf, g, 2])
             return pltpu.make_async_copy(
-                v_hbm.at[pl.ds(vbase_ref[step, g, 0] // 16, Rv // 16)],
-                vbuf.at[buf, g], sems.at[buf, g, 1])
+                v_hbm.at[pl.ds(vbase_ref[step, g, w] // 16, Rvs // 16)],
+                vbuf.at[buf, g, w], sems.at[buf, g, 2 + w])
 
         def t_copy(step, buf, g):
             return pltpu.make_async_copy(
                 t_hbm.at[pl.ds(oblk_ref[step] * (S // 16)
                                + g * (St // 16), St // 16)],
-                tbuf.at[buf, g], sems.at[buf, g, 2])
+                tbuf.at[buf, g], sems.at[buf, g, 1])
 
         @pl.when(i == 0)
         def _():
             for g in range(G):
                 u_copy(0, 0, g).start()
                 t_copy(0, 0, g).start()
-                v_copy(0, 0, g).start()
+                for w in range(Gv):
+                    v_copy(0, 0, g, w).start()
 
         @pl.when(i + 1 < n)
         def _():
@@ -200,12 +209,14 @@ def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
             for g in range(G):
                 u_copy(nxt, (i + 1) % 2, g).start()
                 t_copy(nxt, (i + 1) % 2, g).start()
-                v_copy(nxt, (i + 1) % 2, g).start()
+                for w in range(Gv):
+                    v_copy(nxt, (i + 1) % 2, g, w).start()
 
         for g in range(G):
             u_copy(i, i % 2, g).wait()
             t_copy(i, i % 2, g).wait()
-            v_copy(i, i % 2, g).wait()
+            for w in range(Gv):
+                v_copy(i, i % 2, g, w).wait()
 
         uw = ubuf[i % 2]
         uw = uw.reshape(G, R, uw.shape[-1])
@@ -260,13 +271,14 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
-    G = plan.G
+    G, Gv = plan.G, plan.Gv
     Wu, Wv, Wt, Wout = _ROLE_WIDTHS[role]
     D = U.shape[-1] // Wu
-    assert plan.Gv == 1, (
-        "attention strip plans must use Gv=1 (multi-base v sub-windows "
-        "have unaligned bases, incompatible with the grouped f32 DMAs)")
-    assert R % 16 == 0 and Rv % 16 == 0 and St % 16 == 0, (R, Rv, St)
+    assert Gv == 1 or plan.v_align % 16 == 0, (
+        "Gv > 1 attention plans need 16-aligned sub-window bases "
+        "(build with base_align=16, the planner default)")
+    assert R % 16 == 0 and (Rv // Gv) % 16 == 0 and St % 16 == 0, (
+        R, Rv, Gv, St)
     assert U.shape[-1] == Wu * D and V.shape[-1] == Wv * D \
         and T.shape[-1] == Wt * D, (role, U.shape, V.shape, T.shape, D)
     assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows \
@@ -318,13 +330,15 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
                 (S, Wout * D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, G, R // 16, 16, Wu * D), jnp.float32),
-                pltpu.VMEM((2, G, Rv // 16, 16, Wv * D), jnp.float32),
+                pltpu.VMEM((2, G, Rv // 16, 16, Wv * D) if Gv == 1 else
+                           (2, G, Gv, Rv // Gv // 16, 16, Wv * D),
+                           jnp.float32),
                 pltpu.VMEM((2, G, St // 16, 16, Wt * D), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, G, 3)),
+                pltpu.SemaphoreType.DMA((2, G, 2 + Gv)),
             ],
         )
         return pl.pallas_call(
-            _att_kernel(role, C, R, S, St, Rv, exact),
+            _att_kernel(role, C, R, S, St, Rv, exact, Gv=Gv),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_rows, Wout * D),
                                            jnp.float32),
@@ -465,17 +479,16 @@ fused_attention_strip.defvjp(_att_fwd, _att_bwd)
 def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
                              D: int = 128, exact: bool = True) -> dict:
     """Strip geometries for the attention roles: the spspmm autotuner
-    over candidates that (a) fit every role's VMEM (three windows, up
-    to 3D lanes) and (b) use Gv=1 (the attention kernel's v_copy does
-    not issue multi-base sub-window DMAs yet; the spspmm kernel's Gv
-    path gained 16-aligned bases 2026-08-19, so extending attention to
-    Gv>1 is now only kernel plumbing — round-3 item)."""
+    over candidates that fit every role's VMEM (three windows, up to
+    3D lanes); Gv > 1 candidates are admitted when the sub-window
+    height is a 16 multiple (the 16-aligned multi-base DMAs,
+    2026-08-19)."""
     from .strip_spspmm import _STRIP_GEOMS, autotune_strip_geoms
 
     def fits(g):
         C, R, S, St, Rv = g[:5]
         gv = g[5] if len(g) > 5 else 1
-        return gv == 1 and all(
+        return (Rv // gv) % 16 == 0 and all(
             estimate_att_vmem(role, (C, R, S, St, Rv), D, exact)
             <= 16 * 1024 * 1024 for role in _ROLE_WIDTHS)
 
@@ -499,5 +512,6 @@ def build_attention_strip_plans(
     plans = build_spspmm_strip_plans(acd, x_rows, e_rows, x_rows, geoms,
                                      pad_steps_to=pad_steps_to)
     for p in plans:
-        assert p.Gv == 1, "attention plans need Gv=1 geometries"
+        assert p.Gv == 1 or p.v_align % 16 == 0, (
+            "Gv>1 attention plans need 16-aligned sub-window bases")
     return plans

@@ -935,15 +935,26 @@ def test_attention_planner_fallback_is_counted(rng):
              for g in synthetic_zinc("train", 4)]
     dl = SpDataloader(datas, 4, keys, device_put=False, prefetch=0,
                       attention_plans=True, plan_dim=128)
-    # seed an illegal Gv=2 geometry so build_attention_strip_plans
-    # asserts and the planner takes the fallback branch
+    # make the single-launch planner refuse (as an uncoverable geometry
+    # would) so the attention planner takes the two-launch fallback
+    import pygho_tpu.kernels.strip_attention as sa
+
     key = [k for k in keys if k][0]
     dl._geoms[f"att1{key}"] = {
-        r: (64, 128, 256, 128, 128, 2) for r in ("fwd", "dx", "da")}
+        r: (64, 128, 256, 128, 128, 1) for r in ("fwd", "dx", "da")}
     before = loader_mod.ATT_PLAN_FALLBACKS["count"]
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        ba = next(iter(dl))
+
+    def refuse(*a, **kw):
+        raise AssertionError("forced: geometry not coverable")
+
+    saved = sa.build_attention_strip_plans
+    sa.build_attention_strip_plans = refuse
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ba = next(iter(dl))
+    finally:
+        sa.build_attention_strip_plans = saved
     assert loader_mod.ATT_PLAN_FALLBACKS["count"] == before + 1
     assert not any(k.endswith("___attplan1") for k in ba)
     assert any(k.endswith("___attplan") for k in ba)
@@ -1036,3 +1047,45 @@ def test_multiwindow_v_bf16_grouped(rng):
                      - np.asarray(y)).max() / (np.abs(np.asarray(y)).max()
                                                + 1e-9)
         assert rel < 5e-2, rel
+
+
+def test_strip_attention_multiwindow_v(rng):
+    """fused_attention_strip with Gv>1 plans (multi-base v sub-window
+    DMAs, 16-aligned bases) matches the oracle — fwd and gradients."""
+    from pygho_tpu.kernels.strip_attention import fused_attention_strip
+    from pygho_tpu.kernels.strip_spspmm import build_spspmm_strip_plans
+
+    x_rows, e_rows, D, K = 256, 1024, 128, 1500
+    a = np.sort(rng.integers(0, x_rows, K))
+    c = rng.integers(0, x_rows, K)
+    d = rng.integers(0, e_rows, K)   # wide v span -> Gv helps
+    K_pad = 2048
+    acd = np.full((3, K_pad), indexing.PAD_INDEX, np.int64)
+    acd[0, :K], acd[1, :K], acd[2, :K] = a, c, d
+    g6 = (128, 256, 256, 128, 256, 4)
+    plans = build_spspmm_strip_plans(acd, x_rows, e_rows, x_rows,
+                                     {r: g6 for r in ("fwd", "dx", "da")})
+    assert plans[0].Gv == 4 and plans[0].v_align == 16
+    ops = tuple(jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
+                for n in (x_rows, x_rows, e_rows, x_rows))
+    a1, a3, av, a2 = ops
+    want = _att_oracle(a, c, d, x_rows)(a1, a3, av, a2)
+    got = fused_attention_strip(a1, a3, av, a2, *plans, None, True, True)
+    assert maxdiff(want, got[:x_rows]) < 2e-4
+
+    w = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+
+    def loss_o(args):
+        return jnp.sum(_att_oracle(a, c, d, x_rows)(*args) * w)
+
+    def loss_k(args):
+        return jnp.sum(
+            fused_attention_strip(*args, *plans, None, True, True)[:x_rows]
+            * w)
+
+    go = jax.grad(loss_o)(ops)
+    gk = jax.grad(loss_k)(ops)
+    for name, x, y in zip(("da1", "da3", "dav", "da2"), go, gk):
+        rel = float(jnp.max(jnp.abs(x - y))) / (
+            float(jnp.max(jnp.abs(x))) + 1e-9)
+        assert rel < 2e-4, (name, rel)
