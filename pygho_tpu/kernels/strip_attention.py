@@ -488,7 +488,11 @@ def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
     def fits(g):
         C, R, S, St, Rv = g[:5]
         gv = g[5] if len(g) > 5 else 1
-        return (Rv // gv) % 16 == 0 and all(
+        align = g[6] if len(g) > 6 else 16
+        # the attention kernel DMAs ALL operands as (rows/16, 16, W)
+        # grouped views (wide f32 sources fail Mosaic's dynamic-base
+        # tile proof), so plan bases must stay 16-aligned
+        return align % 16 == 0 and (Rv // gv) % 16 == 0 and all(
             estimate_att_vmem(role, (C, R, S, St, Rv), D, exact)
             <= 16 * 1024 * 1024 for role in _ROLE_WIDTHS)
 

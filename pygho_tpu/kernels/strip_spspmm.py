@@ -85,6 +85,10 @@ class StripPlan:
     # plans execute as several <=512-step launches over disjoint
     # block ranges whose outputs concatenate
     launch_splits: tuple = ()
+    # DMA pipeline depth (window buffers per operand): nbuf-1 steps of
+    # DMA lookahead.  2 = classic double buffering; small-window
+    # geometries with ~1-2 us steps need 3-4 to hide HBM DMA latency
+    nbuf: int = 2
 
     @property
     def G(self) -> int:
@@ -103,7 +107,8 @@ jax.tree_util.register_dataclass(
     StripPlan,
     data_fields=["tuv_local", "ubase", "vbase", "oblk"],
     meta_fields=["C", "R", "S", "St", "Rv", "out_rows", "u_rows",
-                 "v_rows", "u_align", "v_align", "Gv", "launch_splits"],
+                 "v_rows", "u_align", "v_align", "Gv", "launch_splits",
+                 "nbuf"],
 )
 
 try:  # jax.export serialization (parity with v1 plans)
@@ -480,8 +485,8 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
 
     def gather(loc, w, width):
         iota = lax.broadcasted_iota(jnp.int32, (G, C, width), 2)
-        oh = jnp.where(loc[:, :, None] == iota, 1.0, 0.0).astype(
-            jnp.bfloat16)
+        # direct predicate->bf16 cast (one VPU pass; where+astype is two)
+        oh = (loc[:, :, None] == iota).astype(jnp.bfloat16)
         if exact and w.dtype != jnp.bfloat16:
             return _sum3(_batch_dot(oh, _pack3(w)))
         return _batch_dot(oh, w.astype(jnp.bfloat16))
@@ -489,8 +494,7 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
     prod = gather(u_loc, uw, R) * gather(v_loc, vw, Rv)   # (G, C, D) f32
 
     iota_t = lax.broadcasted_iota(jnp.int32, (G, St, C), 1)
-    oh_t = jnp.where(t_loc[:, None, :] == iota_t, 1.0, 0.0).astype(
-        jnp.bfloat16)
+    oh_t = (t_loc[:, None, :] == iota_t).astype(jnp.bfloat16)
     if exact:
         acc = _sum3(_batch_dot(oh_t, _pack3(prod)))
     else:
@@ -499,13 +503,18 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
 
 
 def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
-                  gu: int = 1, gv: int = 1, Gv: int = 1):
-    """Double-buffered strip kernel: step i+1's 2G window DMAs are in
-    flight while step i computes.  ``gu``/``gv`` as in v1: bf16 operands
-    arrive as (rows/g, g, D) grouped views (untiled leading dim
-    sidesteps Mosaic's divisibility proof on dynamic bf16 slices).
-    ``Gv`` > 1: the v window is Gv disjoint sub-window DMAs (multi-base
-    windows; local indices pre-remapped by the planner)."""
+                  gu: int = 1, gv: int = 1, Gv: int = 1, nbuf: int = 2):
+    """Pipelined strip kernel: the window DMAs of the next ``nbuf - 1``
+    steps are in flight while step i computes.  nbuf = 2 is classic
+    double buffering; deeper pipelines matter for small-window
+    geometries whose per-step compute (~1-2 us) is shorter than the
+    HBM DMA latency — one step of lookahead can't hide it (round-3
+    measurement: the small-window family floors at ~2.2 us/step at
+    nbuf=2).  ``gu``/``gv`` as in v1: bf16 operands arrive as
+    (rows/g, g, D) grouped views (untiled leading dim sidesteps
+    Mosaic's divisibility proof on dynamic bf16 slices).  ``Gv`` > 1:
+    the v window is Gv disjoint sub-window DMAs (multi-base windows;
+    local indices pre-remapped by the planner)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -538,28 +547,33 @@ def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
             return pltpu.make_async_copy(src, vbuf.at[buf, g, w],
                                          sems.at[buf, g, 1 + w])
 
+        def start(step, buf):
+            for g in range(G):
+                u_copy(step, buf, g).start()
+                for w in range(Gv):
+                    v_copy(step, buf, g, w).start()
+
         @pl.when(i == 0)
         def _():
-            for g in range(G):
-                u_copy(0, 0, g).start()
-                for w in range(Gv):
-                    v_copy(0, 0, g, w).start()
+            # prologue: fill the whole pipeline (steps 0 .. nbuf-2)
+            start(0, 0)
+            for k in range(1, nbuf - 1):
+                @pl.when(k < n)
+                def _(k=k):
+                    start(jnp.minimum(k, n - 1), k % nbuf)
 
-        @pl.when(i + 1 < n)
+        @pl.when(i + nbuf - 1 < n)
         def _():
-            nxt = jnp.minimum(i + 1, n - 1)
-            for g in range(G):
-                u_copy(nxt, (i + 1) % 2, g).start()
-                for w in range(Gv):
-                    v_copy(nxt, (i + 1) % 2, g, w).start()
+            nxt = jnp.minimum(i + nbuf - 1, n - 1)
+            start(nxt, (i + nbuf - 1) % nbuf)
 
         for g in range(G):
-            u_copy(i, i % 2, g).wait()
+            u_copy(i, i % nbuf, g).wait()
             for w in range(Gv):
-                v_copy(i, i % 2, g, w).wait()
+                v_copy(i, i % nbuf, g, w).wait()
 
-        uw = ubuf[i % 2]
-        vw = vbuf[i % 2]
+        uw = ubuf[i % nbuf]
+        vw = vbuf[i % nbuf]
         if gu > 1:
             uw = uw.reshape(G, R, uw.shape[-1])
         if gv > 1 or Gv > 1:
@@ -612,6 +626,7 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
     U, gu = grouping(U, plan.u_align, R)
     # the v DMA unit is the sub-window height when Gv > 1
     V, gv = grouping(V, plan.v_align, Rv // Gv)
+    nb = max(2, int(plan.nbuf))
     if not interpret:
         assert D % 128 == 0, (
             f"strip kernel needs a feature dim that is a multiple of 128 "
@@ -643,18 +658,19 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             out_specs=pl.BlockSpec((S, D),
                                    lambda i, ub, vb, ob, *refs: (ob[i], 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, G, R, D) if gu == 1 else
-                           (2, G, R // gu, gu, D), U.dtype),
-                pltpu.VMEM((2, G, Rv, D) if (gv == 1 and Gv == 1) else
-                           ((2, G, Rv // gv, gv, D) if Gv == 1 else
-                            ((2, G, Gv, Rv // Gv, D) if gv == 1 else
-                             (2, G, Gv, Rv // Gv // gv, gv, D))),
+                pltpu.VMEM((nb, G, R, D) if gu == 1 else
+                           (nb, G, R // gu, gu, D), U.dtype),
+                pltpu.VMEM((nb, G, Rv, D) if (gv == 1 and Gv == 1) else
+                           ((nb, G, Rv // gv, gv, D) if Gv == 1 else
+                            ((nb, G, Gv, Rv // Gv, D) if gv == 1 else
+                             (nb, G, Gv, Rv // Gv // gv, gv, D))),
                            V.dtype),
-                pltpu.SemaphoreType.DMA((2, G, 1 + Gv)),
+                pltpu.SemaphoreType.DMA((nb, G, 1 + Gv)),
             ],
         )
         return pl.pallas_call(
-            _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv, Gv=Gv),
+            _strip_kernel(C, R, S, St, Rv, exact, gu=gu, gv=gv, Gv=Gv,
+                          nbuf=nb),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_rows, D), jnp.float32),
             cost_estimate=cost,
@@ -681,19 +697,29 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
 # ---------------------------------------------------------------------------
 
 
-def normalize_strip_geom(g) -> Tuple[int, int, int, int, int, int]:
+def normalize_strip_geom(g) -> Tuple[int, int, int, int, int, int, int]:
     """Accept v1-style (C, R, S) / (C, R, S, Rv), 5-tuple strip
-    (C, R, S, St, Rv), or full 6-tuple (..., Gv) geometries; fill
-    defaults St = S//4 (when 8-aligned) and Gv = 1."""
+    (C, R, S, St, Rv), 6-tuple (..., Gv), or full 7-tuple
+    (..., Gv, align); fill defaults St = S//4 (when 8-aligned),
+    Gv = 1 and align = 16.
+
+    ``align`` is the plan's window-base alignment (build_strip_plan's
+    ``base_align``): 16 keeps bf16 grouped-DMA views legal; 1 gives the
+    chunker the FULL window range (R_eff = R), which matters for tight
+    R=128 windows where losing 15 rows of range fragments every strip
+    (bf16 operands then upcast to f32 at the kernel boundary — measured
+    neutral at molecule scale, BENCHMARKS "bf16-operand fused kernel")."""
     g = tuple(int(x) for x in g)
-    if len(g) == 6:
+    if len(g) == 7:
         return g
+    if len(g) == 6:
+        return g + (16,)
     if len(g) == 5:
-        return g + (1,)
+        return g + (1, 16)
     C, R, S = g[:3]
     Rv = g[3] if len(g) == 4 else R
     St = S // 4 if (S % 4 == 0 and (S // 4) % 8 == 0) else S
-    return (C, R, S, St, Rv, 1)
+    return (C, R, S, St, Rv, 1, 16)
 
 
 def build_spspmm_strip_plans(
@@ -716,10 +742,10 @@ def build_spspmm_strip_plans(
         return max(((n + m - 1) // m) * m, m)
 
     def mk(tuv, u_rows, v_rows, o_rows, g, pad):
-        C, R, S, St, Rv, Gv = normalize_strip_geom(g)
+        C, R, S, St, Rv, Gv, align = normalize_strip_geom(g)
         return build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
                                 rup(o_rows, S), C, R, S, St, Rv,
-                                pad_steps_to=pad, Gv=Gv)
+                                base_align=align, pad_steps_to=pad, Gv=Gv)
 
     pad = pad_steps_to or {}
     # no pre-sorting needed: build_strip_plan orders (strip, u, v) itself
@@ -787,12 +813,26 @@ _STEP_FIXED = 0.4e-6
 
 def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
                         itemsize: int = 4) -> float:
-    """Calibrated time estimate (seconds) for one strip_contract launch."""
+    """Calibrated time estimate (seconds) for one strip_contract launch.
+
+    MXU billing is tile-aware: the contraction (K) dim of each matmul is
+    rounded up to 128 lanes (gathers contract over R/Rv, the scatter
+    over C — so C = 160 bills its scatter at K = 256), and the streamed
+    M dim is billed at >= 128 rows (St = 64 measured at the M = 128 cost
+    with half the array idle; BENCHMARKS "St=64 strips").  Re-checked
+    against the round-2 measurements: the recorded fwd geometry
+    (320, 256, 512, 128, 128) bills to 250 us vs 254 us measured."""
     C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
     G = plan.G
     n = plan.n_steps
     passes = 3 if exact else 1
-    mxu = passes * G * (2 * C * (R + Rv) * D + 2 * St * C * D) / _MXU_FLOPS
+
+    def r128(x):
+        return ((x + 127) // 128) * 128
+
+    gath = 2 * max(C, 128) * (r128(R) + r128(Rv)) * D
+    scat = 2 * max(St, 128) * r128(C) * D
+    mxu = passes * G * (gath + scat) / _MXU_FLOPS
     vpu = G * (C * (R + Rv) + St * C) / _VPU_RATE
     t_comp = mxu + vpu
     t_dma = G * (R + Rv) * D * itemsize / _HBM_BW
@@ -802,12 +842,19 @@ def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
     return total
 
 
-# (C, R, S, St, Rv) candidates; G = S // St.  Measured guidance
-# (2026-08-19 ZINC sweep): R/Rv should stay MXU-tile multiples of 128
-# (R=192 measured slower than R=256 despite fewer FLOPs); the molecule
-# sweet spot is C=256-320, R=256, St=128.  Wider-R entries cover
-# giant-graph locality at G=2/G=1 so their VMEM footprint stays under
-# the budget (see estimate_strip_vmem).
+# (C, R, S, St, Rv[, Gv[, align]]) candidates; G = S // St.  Measured
+# guidance (2026-08-19 ZINC sweep): R/Rv should stay MXU-tile multiples
+# of 128 (R=192 measured slower than R=256 despite fewer FLOPs).
+# Wider-R entries cover giant-graph locality at G=2/G=1 so their VMEM
+# footprint stays under the budget (see estimate_strip_vmem).
+#
+# The minimum-FLOP family (C=128-160, R=Rv=St=128, align=1) exploits
+# the u-locality of molecule workloads (u spans per 128-target strip
+# measured 138-157 on ZINC hop-3 — one R=128 window per ~128-row
+# sub-chunk once the chunker may cut on the FULL range, hence align=1).
+# Round-3 fill analysis: every cut on these workloads is a strip
+# boundary; strips hold ~250 acd rows, so small windows cost nothing
+# while halving per-triple gather FLOPs vs R=256.
 _STRIP_GEOMS = (
     (256, 256, 512, 128, 128),
     (320, 256, 512, 128, 128),
@@ -819,6 +866,11 @@ _STRIP_GEOMS = (
     (256, 512, 256, 128, 256),
     (384, 768, 256, 128, 384),
     (512, 1024, 128, 128, 512),
+    # minimum-FLOP small-window family (see note above)
+    (128, 128, 1024, 128, 128, 1, 1),
+    (128, 128, 768, 128, 128, 1, 1),
+    (128, 128, 512, 128, 128, 1, 1),
+    (160, 128, 1024, 128, 128, 1, 1),
     # multi-base v windows (Gv sub-window DMAs): giant-graph regimes
     # whose per-strip edge spans exceed any single window
     (256, 1024, 128, 128, 512, 8),
@@ -839,7 +891,7 @@ def estimate_strip_vmem(geom, D: int, exact: bool = True,
     reject geometries that would crash the Mosaic compiler (observed:
     (512, 1024, 1024, 256, 1024) at D=128 exhausts the 16 MB VMEM with
     register-allocator spills)."""
-    C, R, S, St, Rv, _Gv = normalize_strip_geom(geom)
+    C, R, S, St, Rv, _Gv, _al = normalize_strip_geom(geom)
     G = S // St
     win = 2 * G * (R + Rv) * D * itemsize          # double-buffered windows
     tuv = 2 * G * 3 * C * 4                        # block double buffer
@@ -872,13 +924,21 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
             pool = [min(candidates or _STRIP_GEOMS,
                         key=lambda g: estimate_strip_vmem(g, D, exact))]
         for g in pool:
-            C, R, S, St, Rv, Gv = normalize_strip_geom(g)
-            plan = build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
-                                    rup(o_rows, S), C, R, S, St, Rv,
-                                    Gv=Gv)
+            C, R, S, St, Rv, Gv, align = normalize_strip_geom(g)
+            try:
+                plan = build_strip_plan(tuv, rup(u_rows, R),
+                                        rup(v_rows, Rv),
+                                        rup(o_rows, S), C, R, S, St, Rv,
+                                        base_align=align, Gv=Gv)
+            except AssertionError:
+                # e.g. one output block needs more grid steps than the
+                # Mosaic ceiling and launch splitting can't cut it —
+                # this candidate simply doesn't fit the workload
+                continue
             cost = estimate_strip_cost(plan, D, exact)
             if best is None or cost < best[1]:
                 best = (g, cost)
+        assert best is not None, "no strip geometry candidate fits"
         return best[0]
 
     g_fwd = tune(np.stack([a, c, d]), x_rows, a_rows, out_rows)

@@ -736,9 +736,11 @@ def test_strip_vmem_guard_and_geom_normalizer():
     for g in ((256, 256, 512, 128, 128), (320, 256, 512, 128, 128)):
         assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
     assert normalize_strip_geom((128, 256, 128)) == (128, 256, 128, 32,
-                                                     256, 1)
+                                                     256, 1, 16)
     assert normalize_strip_geom((256, 256, 512, 64)) == (256, 256, 512,
-                                                         128, 64, 1)
+                                                         128, 64, 1, 16)
+    assert normalize_strip_geom((128, 128, 1024, 128, 128, 1, 1)) == (
+        128, 128, 1024, 128, 128, 1, 1)
     # autotune output respects the budget even on adversarial triples
     rng = np.random.default_rng(0)
     K = 8192
