@@ -85,6 +85,19 @@ def load_zinc(root: str, split: str = "train",
     (same fields synthetic_zinc produces): integer atom types as
     ``x (n, 1)``, directed edge pairs from the nonzero bond entries,
     integer bond types as ``edge_attr``, float target ``y (1,)``.
+
+    Schema provenance: this container has no network access, so the
+    expected dict layout (``atom_type``/``bond_type``/
+    ``logP_SA_cycle_normalized`` keys, dense bond matrix) was transcribed
+    from PyG's ``torch_geometric/datasets/zinc.py`` ``process()`` source,
+    NOT validated against a downloaded archive; the checked-in test
+    fixture (tests/fixtures/zinc/raw) is self-authored to that schema.
+    The parser is deliberately permissive — torch or numpy tensors both
+    work, ``root`` or ``root/raw`` both resolve, a missing ``.index``
+    file falls back to the full split, and the target accepts the first
+    key present among ``logP_SA_cycle_normalized``/``logP_SA_cycle``/
+    ``y`` — but a genuinely different field layout will still raise
+    KeyError naming the molecule index.
     """
     raw = root if os.path.exists(os.path.join(root, f"{split}.pickle")) \
         else os.path.join(root, "raw")
@@ -108,16 +121,26 @@ def load_zinc(root: str, split: str = "train",
         return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
 
     graphs = []
+    target_keys = ("logP_SA_cycle_normalized", "logP_SA_cycle", "y")
     for i in indices:
         mol = mols[i]
-        x = to_np(mol["atom_type"]).astype(np.int64).reshape(-1, 1)
-        adj = to_np(mol["bond_type"])
+        try:
+            x = to_np(mol["atom_type"]).astype(np.int64).reshape(-1, 1)
+            adj = to_np(mol["bond_type"])
+            tkey = next((k for k in target_keys if k in mol), None)
+            if tkey is None:
+                raise KeyError(f"none of {target_keys}")
+            y = np.asarray(to_np(mol[tkey]),
+                           dtype=np.float32).reshape(-1)[:1]
+        except KeyError as e:
+            raise KeyError(
+                f"ZINC molecule {i} does not match the expected PyG raw "
+                f"schema (keys {sorted(mol) if hasattr(mol, 'keys') else type(mol)}): {e}"
+            ) from e
         src, dst = np.nonzero(adj)
         order = np.lexsort((dst, src))
         ei = np.stack([src[order], dst[order]]).astype(np.int64)
         ea = adj[ei[0], ei[1]].astype(np.int64)
-        y = np.asarray(to_np(mol["logP_SA_cycle_normalized"]),
-                       dtype=np.float32).reshape(-1)[:1]
         graphs.append(Graph(x=x, edge_index=ei, edge_attr=ea, y=y))
     return graphs
 

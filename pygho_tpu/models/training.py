@@ -5,9 +5,12 @@ with polynomial amplitude decay of restarts
 (reference example/lr_scheduler.py:20-28):
 
   lr(e) = 1/(1 + K*c + K2*c^2) * (min + (base - min) *
-          (1 + cos(pi * t / T)) / 2)
+          (1 + cos(pi * t / T_i)) / 2)
 
-with c = completed restarts, t = epoch within the cycle, T_mult = 1.
+with c = completed restarts, t = epoch within the cycle, and cycle
+length T_i = T0 * T_mult^c (general integer T_mult >= 1, matching the
+reference's epoch-indexed step(epoch) closed form,
+example/lr_scheduler.py:30-53).
 """
 
 from __future__ import annotations
@@ -24,19 +27,35 @@ from flax import nnx
 
 def cosine_warm_restarts(base_lr: float, T0: int, steps_per_epoch: int,
                          eta_min: float = 0.0, K: float = 0.0,
-                         K2: float = 0.0) -> Callable:
+                         K2: float = 0.0, T_mult: int = 1) -> Callable:
     """Per-step schedule matching the reference epoch-level scheduler
-    (T_mult fixed to 1, the only value the examples use)."""
+    for general integer ``T_mult`` >= 1: cycle c has length
+    T0 * T_mult^c, and for T_mult > 1 the cycle index at epoch e is
+    n = floor(log_Tm(e/T0 * (Tm - 1) + 1)) (the closed form the
+    reference uses for epoch-indexed stepping,
+    reference example/lr_scheduler.py:46-53)."""
+    if T_mult < 1 or int(T_mult) != T_mult:
+        raise ValueError(f"Expected integer T_mult >= 1, got {T_mult}")
+    T_mult = int(T_mult)
 
     def schedule(step):
         epoch = step / steps_per_epoch
         if T0 < 1:
             return base_lr
-        num_cos = jnp.floor(epoch / T0)
-        t_cur = epoch - num_cos * T0
+        if T_mult == 1:
+            num_cos = jnp.floor(epoch / T0)
+            t_cur = epoch - num_cos * T0
+            T_i = T0
+        else:
+            num_cos = jnp.floor(
+                jnp.log(epoch / T0 * (T_mult - 1) + 1.0)
+                / math.log(T_mult))
+            geo = (T_mult ** num_cos - 1.0) / (T_mult - 1)
+            t_cur = epoch - T0 * geo
+            T_i = T0 * T_mult ** num_cos
         amp = 1.0 / (1.0 + K * num_cos + K2 * num_cos ** 2)
         return amp * (eta_min + (base_lr - eta_min) *
-                      (1.0 + jnp.cos(jnp.pi * t_cur / T0)) / 2.0)
+                      (1.0 + jnp.cos(jnp.pi * t_cur / T_i)) / 2.0)
 
     return schedule
 

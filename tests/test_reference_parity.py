@@ -781,3 +781,50 @@ def test_sparse_unpooling_parity(rng):
     assert np.array_equal(np.asarray(out.indices)[:, :nz],
                           refO.indices.numpy())
     assert maxdiff(np.asarray(out.values)[:nz], refO.values.numpy()) < TOL
+
+
+def test_cosine_restart_scheduler_parity_tmult():
+    """cosine_warm_restarts matches the reference scheduler epoch by
+    epoch for general T_mult (reference example/lr_scheduler.py:30-53),
+    including the polynomial restart-amplitude decay."""
+    import importlib.util
+
+    import torch.optim.lr_scheduler as _tls
+
+    class _CompatLRS(_tls.LRScheduler):
+        # this torch dropped the positional ``verbose`` arg the
+        # reference still passes
+        def __init__(self, optimizer, last_epoch=-1, verbose=False):
+            super().__init__(optimizer, last_epoch)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_lr_scheduler", os.path.join(REF, "example/lr_scheduler.py"))
+    ref_mod = importlib.util.module_from_spec(spec)
+    orig = _tls.LRScheduler
+    _tls.LRScheduler = _CompatLRS
+    try:
+        spec.loader.exec_module(ref_mod)
+    finally:
+        _tls.LRScheduler = orig
+
+    from pygho_tpu.models.training import cosine_warm_restarts
+
+    for T_mult in (1, 2, 3):
+        for K, K2 in ((0.0, 0.0), (0.5, 0.25)):
+            p = torch.nn.Parameter(torch.zeros(1))
+            opt = torch.optim.SGD([p], lr=1e-3)
+            ref = ref_mod.CosineAnnealingWarmRestarts(
+                opt, T_0=7, T_mult=T_mult, eta_min=1e-5, K=K, K2=K2)
+            sched = cosine_warm_restarts(1e-3, T0=7, steps_per_epoch=1,
+                                         eta_min=1e-5, K=K, K2=K2,
+                                         T_mult=T_mult)
+            # implicit stepping (scheduler.step() once per epoch) — the
+            # mode the reference examples use; the epoch-indexed
+            # step(epoch) branch never updates num_cos, so amplitude
+            # decay only exists on this path
+            for epoch in range(60):
+                got = float(sched(epoch))
+                want = opt.param_groups[0]["lr"]
+                assert abs(got - want) < 1e-9 + 1e-5 * want, (
+                    T_mult, K, epoch, got, want)
+                ref.step()
