@@ -477,7 +477,15 @@ def _sum3(o):
 def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
     """One step's G sub-chunks as three batched MXU primitives.
     tuv: (G, 3, C) i32; uw: (G, R, D); vw: (G, Rv, D).
-    Returns the (G*St, D) f32 contribution to the output block."""
+    Returns the (G*St, D) f32 contribution to the output block.
+
+    Exact mode: mixed-precision dots — an exact bf16 one-hot against the
+    f32 operand.  Mosaic decomposes the f32 side into bf16 MXU passes
+    internally, which measured identical to the hand-packed 3-term
+    (G, R, 3D) decomposition this replaced (A/B 2026-08-19: 0.182 vs
+    0.187 ms, rel err 1.0e-7 both vs the f64 oracle) while skipping the
+    per-step split3/pack/sum VPU passes and the 3x-lane VMEM
+    intermediates.  Fast mode stays a single all-bf16 pass per stage."""
     import jax.lax as lax
 
     G = tuv.shape[0]
@@ -488,7 +496,7 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
         # direct predicate->bf16 cast (one VPU pass; where+astype is two)
         oh = (loc[:, :, None] == iota).astype(jnp.bfloat16)
         if exact and w.dtype != jnp.bfloat16:
-            return _sum3(_batch_dot(oh, _pack3(w)))
+            return _batch_dot(oh, w)          # mixed: Mosaic splits w
         return _batch_dot(oh, w.astype(jnp.bfloat16))
 
     prod = gather(u_loc, uw, R) * gather(v_loc, vw, Rv)   # (G, C, D) f32
@@ -496,7 +504,7 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
     iota_t = lax.broadcasted_iota(jnp.int32, (G, St, C), 1)
     oh_t = (t_loc[:, None, :] == iota_t).astype(jnp.bfloat16)
     if exact:
-        acc = _sum3(_batch_dot(oh_t, _pack3(prod)))
+        acc = _batch_dot(oh_t, prod)          # mixed: Mosaic splits prod
     else:
         acc = _batch_dot(oh_t, prod.astype(jnp.bfloat16))
     return acc.reshape(G * St, -1)
@@ -871,6 +879,13 @@ _STRIP_GEOMS = (
     (128, 128, 768, 128, 128, 1, 1),
     (128, 128, 512, 128, 128, 1, 1),
     (160, 128, 1024, 128, 128, 1, 1),
+    (144, 128, 1536, 128, 128, 1, 1),
+    # St=96 single-piece strips: a 96-target strip's u span stays under
+    # R=128 AND its ~190 rows fit one C=224-256 slot, so strips never
+    # split — measured fwd exact 0.123-0.131 ms / fast 0.111-0.124 ms
+    # on the ZINC workload (best of all round-3 candidates)
+    (224, 128, 768, 96, 128, 1, 1),
+    (256, 128, 768, 96, 128, 1, 1),
     # multi-base v windows (Gv sub-window DMAs): giant-graph regimes
     # whose per-strip edge spans exceed any single window
     (256, 1024, 128, 128, 512, 8),
