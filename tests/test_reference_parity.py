@@ -138,16 +138,20 @@ def test_spspmm_parity(rng, aggr):
 
 
 def _sync_mlp(ref_mlp, my_mlp):
-    """Copy reference torch MLP weights into the nnx MLP (norm='none')."""
+    """Copy reference torch MLP weights into the nnx MLP (norm='none').
+
+    jnp.array (not asarray): on the CPU backend asarray can ALIAS the
+    torch buffer, so later in-place torch optimizer updates would mutate
+    the nnx params (bit us in the trajectory differential test)."""
     lins = [m for m in ref_mlp.lins if isinstance(m, torch.nn.Linear)] \
         if not isinstance(ref_mlp.lins, torch.nn.Identity) else []
     my_lins = list(my_mlp.hid_lins) + ([my_mlp.tail_lin]
                                        if my_mlp.tail_lin else [])
     assert len(lins) == len(my_lins), (len(lins), len(my_lins))
     for t, m in zip(lins, my_lins):
-        m.kernel[...] = jnp.asarray(t.weight.detach().numpy().T)
+        m.kernel[...] = jnp.array(t.weight.detach().numpy().T)
         if t.bias is not None:
-            m.bias[...] = jnp.asarray(t.bias.detach().numpy())
+            m.bias[...] = jnp.array(t.bias.detach().numpy())
 
 
 @pytest.mark.parametrize("convname", ["NGNN", "SSWL", "PPGN", "DSSGNN"])
@@ -828,3 +832,143 @@ def test_cosine_restart_scheduler_parity_tmult():
                 assert abs(got - want) < 1e-9 + 1e-5 * want, (
                     T_mult, K, epoch, got, want)
                 ref.step()
+
+
+def test_training_trajectory_differential():
+    """Training-trajectory differential (BASELINE metric c): the same
+    tiny dataset and the same initial weights, trained full-batch for N
+    Adam steps through the reference torch stack
+    (/root/reference/example/zinc.py:225-294 SpModel + honn.Conv) and
+    through pygho_tpu's production path (collate_sparse ->
+    make_sparse_steps), must produce the same per-step loss trajectory.
+
+    This is stronger than per-layer activation parity: it covers the
+    full forward (encoders, tupleinit, conv stack, pooling, heads), the
+    backward through every op, and the optimizer (optax.adamw(wd=0) vs
+    torch Adam) over multiple steps, including pygho_tpu's padding
+    machinery (pad tuple/node/graph rows must contribute exactly
+    nothing to losses or gradients).
+    """
+    from functools import partial
+
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from pygho.backend.utils import torch_scatter_reduce
+    from pygho.honn.TensorOp import OpPoolingSubg2D as RefPoolSubg2D
+    from pygho.honn.utils import MLP as RefMLP
+
+    from pygho_tpu.backend.indexing import PAD_INDEX
+    from pygho_tpu.hodata import Sppretransform
+    from pygho_tpu.hodata.sp_data import collate_sparse
+    from pygho_tpu.hodata.sp_sampler import KhopSampler
+    from pygho_tpu.hodata.datasets import synthetic_zinc
+    from pygho_tpu.honn import parse_precomputekey
+    from pygho_tpu.models import make_sp_model
+    from pygho_tpu.models.training import make_optimizer, make_sparse_steps
+
+    d, L, G, STEPS = 16, 2, 6, 10
+    mlp_t = {"norm": "none", "act": "silu"}
+
+    model = make_sp_model("NGNN", num_layer=L, hiddim=d, outlayer=2,
+                          npool="sum", lpool="mean", mlp=dict(mlp_t))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=G, seed=11)
+    pre = Sppretransform(partial(KhopSampler, hop=2), [""], keys)
+    datas = [pre(g) for g in graphs]
+    batch = collate_sparse(datas, keys, num_graphs=G)
+
+    # ---- unpadded views for the torch side ------------------------------
+    key = keys[0]
+    nnz = int(batch["num_tuples"])
+    E = int(batch["num_edges"])
+    N = int(batch["num_nodes"])
+    acd = np.asarray(batch[f"{key}{KEYSEP}acd"])
+    acd = acd[:, acd[0] < PAD_INDEX]
+    t_tid = torch.from_numpy(
+        np.asarray(batch["tupleid"])[:, :nnz].astype(np.int64))
+    t_tf = torch.from_numpy(
+        np.asarray(batch["tuplefeat"])[:nnz].reshape(nnz).astype(np.int64))
+    t_ei = torch.from_numpy(
+        np.asarray(batch["edge_index"])[:, :E].astype(np.int64))
+    t_ea = torch.from_numpy(
+        np.asarray(batch["edge_attr"])[:E].reshape(E).astype(np.int64))
+    t_x = torch.from_numpy(
+        np.asarray(batch["x"])[:N].reshape(N).astype(np.int64))
+    t_bvec = torch.from_numpy(
+        np.asarray(batch["batch"])[:N].astype(np.int64))
+    t_y = torch.from_numpy(np.asarray(batch["y"], np.float32))
+    ref_dd = {f"{k}{KEYSEP}acd": torch.from_numpy(
+        np.asarray(batch[f"{k}{KEYSEP}acd"])[
+            :, np.asarray(batch[f"{k}{KEYSEP}acd"])[0] < PAD_INDEX]
+        .astype(np.int64)) for k in keys}
+
+    class Twin(tnn.Module):
+        """The reference SpModel (example/zinc.py:216-294) specialized
+        to NGNN/hop-2/mlplayer-1, assembled from the reference's own
+        ops so torch autograd trains the genuine article."""
+
+        def __init__(self):
+            super().__init__()
+            self.x_enc = tnn.Embedding(32, d)
+            self.ea_enc = tnn.Embedding(16, d)
+            self.tf_enc = tnn.Embedding(16, d)
+            self.lin0 = tnn.Linear(d, d)
+            self.lin1 = tnn.Linear(d, d)
+            mt = {"numlayer": 1, "tailact": True, **mlp_t}
+            self.convs = tnn.ModuleList(
+                [RefConv.NGNNConv(d, d, "sum", "SS", dict(mt))
+                 for _ in range(L)])
+            self.lpool = RefPoolSubg2D("S", "mean")
+            self.poolmlp = RefMLP(d, d, 1, tailact=True, **mlp_t)
+            self.pred = RefMLP(d, 1, 2, tailact=False, **mlp_t)
+
+        def forward(self):
+            x = self.x_enc(t_x)
+            A = RefSparse(t_ei, self.ea_enc(t_ea), shape=[N, N, d],
+                          is_coalesced=True)
+            Xv = self.tf_enc(t_tf)
+            Xv = self.lin0(x)[t_tid[0]] * self.lin1(x)[t_tid[1]] * Xv
+            X = RefSparse(t_tid, Xv, shape=[N, N, d], is_coalesced=True)
+            for conv in self.convs:
+                X = X.add(conv.forward(A, X, ref_dd), True)
+            xn = self.poolmlp(self.lpool(X))
+            hg = torch_scatter_reduce(0, xn, t_bvec, G, "sum")
+            return self.pred(hg)
+
+    torch.manual_seed(0)
+    twin = Twin()
+
+    # ---- copy the torch init into the nnx model -------------------------
+    enc = model.data_encoder
+    for t_emb, m_emb in ((twin.x_enc, enc.x_encoder),
+                         (twin.ea_enc, enc.ea_encoder),
+                         (twin.tf_enc, enc.tuplefeat_encoder)):
+        m_emb.embedding[...] = jnp.array(t_emb.weight.detach().numpy())
+    for t_lin, m_lin in ((twin.lin0, model.lin_tupleinit0),
+                         (twin.lin1, model.lin_tupleinit1)):
+        m_lin.kernel[...] = jnp.array(t_lin.weight.detach().numpy().T)
+        m_lin.bias[...] = jnp.array(t_lin.bias.detach().numpy())
+    for t_conv, m_conv in zip(twin.convs, model.subggnns):
+        _sync_mlp(t_conv.lin, m_conv.lin)
+    _sync_mlp(twin.poolmlp, model.poolmlp)
+    _sync_mlp(twin.pred, model.pred_lin)
+
+    # ---- train both, full batch -----------------------------------------
+    t_opt = torch.optim.Adam(twin.parameters(), lr=1e-3)
+    ref_losses = []
+    for _ in range(STEPS):
+        t_opt.zero_grad()
+        loss = tF.l1_loss(twin().flatten(), t_y.flatten())
+        loss.backward()
+        ref_losses.append(float(loss))
+        t_opt.step()
+
+    opt = make_optimizer(model, 1e-3)
+    train_step, _ = make_sparse_steps()
+    my_losses = [float(train_step(model, opt, batch)) for _ in range(STEPS)]
+
+    # f32 reductions in different orders drift slowly; the trajectories
+    # must track each other far tighter than the loss moves step to step
+    for i, (a, b) in enumerate(zip(ref_losses, my_losses)):
+        assert abs(a - b) < 3e-4, (i, ref_losses, my_losses)
