@@ -344,6 +344,20 @@ def main():
     dd_step_dt = (time.perf_counter() - t0 - base_rtt2) / 10
     log(f"dense DD train step (PPGN x2): {dd_step_dt * 1e3:.1f} ms")
 
+    # bf16 dense-DD training: (b,n,n,d) einsums at the MXU bf16 rate,
+    # f32 params/BN — the dense analog of the sparse --bf16 path
+    ma_model_bf = make_ma_model("PPGN", num_layer=2, hiddim=D,
+                                dtype=jnp.bfloat16,
+                                mlp={"norm": "bn", "act": "silu"})
+    ma_opt_bf = make_optimizer(ma_model_bf, 1e-3)
+    float(ma_train(ma_model_bf, ma_opt_bf, mbatch))   # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        lmb = ma_train(ma_model_bf, ma_opt_bf, mbatch)
+    float(lmb)
+    dd_step_bf_dt = (time.perf_counter() - t0 - base_rtt2) / 10
+    log(f"dense DD train step (PPGN x2, bf16): {dd_step_bf_dt * 1e3:.1f} ms")
+
     # ---- full train step (python-dispatched; state chains the steps) ----
     opt = make_optimizer(model, 1e-3)
     train_step, _ = make_sparse_steps()
@@ -447,6 +461,7 @@ def main():
             "dense_dd_ms": dt_dd * 1e3,
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "dense_dd_train_step_ms": dd_step_dt * 1e3,
+            "dense_dd_train_step_bf16_ms": dd_step_bf_dt * 1e3,
             "train_step_ms": step_dt * 1e3,
             "train_step_fused_bf16_ms": fstep_dt * 1e3,
             "train_step_chained_ms": cstep["xla"] * 1e3,

@@ -49,7 +49,7 @@ parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
 parser.add_argument("--bf16", action="store_true",
-                    help="bf16 activations/compute in the sparse model's "
+                    help="bf16 activations/compute (sparse or dense), "
                          "MLPs and norms (params stay f32); composes "
                          "with --fused and --chained")
 parser.add_argument("--ddp", type=int, default=0,
@@ -130,7 +130,8 @@ def run_once(rep: int) -> float:
         model = make_ma_model(args.conv, num_layer=args.num_layer,
                               hiddim=args.hiddim, npool=args.npool,
                               lpool=args.lpool, cpool=args.cpool,
-                              outlayer=args.outlayer, mlp=mlpdict, seed=rep)
+                              outlayer=args.outlayer, mlp=mlpdict, seed=rep,
+                              dtype=(jnp.bfloat16 if args.bf16 else None))
         keys = []
         pre = Mapretransform(partial(spdsampler, hop=args.hop), [""])
         tag = f"ma_{args.conv}_h{args.hop}"

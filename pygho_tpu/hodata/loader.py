@@ -49,22 +49,31 @@ from .ma_data import ma_datapreprocess, collate_dense, batch_to_dense_dict
 
 
 def Sppretransform(tuplesamplers, annotate: Sequence[str] = ("",),
-                   keys: Sequence[str] = ("",)):
-    """Build the sparse pre-transform fn (reference Wrapper.py:30-56)."""
+                   keys: Sequence[str] = ("",),
+                   relabel: Optional[str] = None):
+    """Build the sparse pre-transform fn (reference Wrapper.py:30-56).
+
+    ``relabel="rcm"``: reverse-Cuthill-McKee node reorder per graph
+    before sampling — the locality lever for large single graphs whose
+    input labels are arbitrary (see sp_datapreprocess docstring).
+    Stays in the partial so the preprocess cache fingerprint includes
+    it."""
     if callable(tuplesamplers):
         tuplesamplers = [tuplesamplers]
     return functools.partial(sp_datapreprocess,
                              tuplesamplers=tuplesamplers,
-                             annotate=tuple(annotate), keys=tuple(keys))
+                             annotate=tuple(annotate), keys=tuple(keys),
+                             relabel=relabel)
 
 
-def Mapretransform(tuplesamplers, annotate: Sequence[str] = ("",)):
+def Mapretransform(tuplesamplers, annotate: Sequence[str] = ("",),
+                   relabel: Optional[str] = None):
     """Build the dense pre-transform fn (reference Wrapper.py:59-76)."""
     if callable(tuplesamplers):
         tuplesamplers = [tuplesamplers]
     return functools.partial(ma_datapreprocess,
                              tuplesamplers=tuplesamplers,
-                             annotate=tuple(annotate))
+                             annotate=tuple(annotate), relabel=relabel)
 
 
 class _BaseLoader:

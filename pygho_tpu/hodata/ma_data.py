@@ -22,10 +22,17 @@ def ma_datapreprocess(
     graph: Graph,
     tuplesamplers: Sequence[Callable[[Graph], Dict[str, np.ndarray]]],
     annotate: Sequence[str] = ("",),
+    relabel: Optional[str] = None,
 ) -> Dict[str, Any]:
-    """(reference MaData.py:258-299)"""
+    """(reference MaData.py:258-299).  ``relabel="rcm"`` reorders nodes
+    by reverse Cuthill-McKee before sampling (see sp_datapreprocess)."""
     assert len(tuplesamplers) == len(annotate)
     graph = graph.coalesced()
+    if relabel is not None:
+        from .graph import rcm_reorder
+
+        assert relabel == "rcm", f"unknown relabel {relabel!r}"
+        graph = rcm_reorder(graph)
     datadict: Dict[str, Any] = {
         "x": graph.x,
         "edge_index": graph.edge_index,

@@ -56,12 +56,27 @@ def sp_datapreprocess(
     tuplesamplers: Sequence[Callable[[Graph], Dict[str, np.ndarray]]],
     annotate: Sequence[str] = ("",),
     keys: Sequence[str] = ("",),
+    relabel: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Run tuple samplers + spspmm index precompute for one graph
     (reference SpData.py:115-172).  Returns a plain dict of numpy arrays.
+
+    ``relabel="rcm"`` reorders nodes by reverse Cuthill-McKee BEFORE
+    sampling, so tuple and acd rows inherit the locality — the windowed
+    Pallas kernels and the tuple-parallel boundary exchange both depend
+    on index locality (BENCHMARKS.md "Giant-graph locality": RCM
+    recovers a label-shuffled community graph from 17.9 to 6.6 ms/iter,
+    2.7x).  Model outputs are a node permutation of the unrelabeled run
+    (tests/test_honn.py::test_rcm_relabel_permutation_exact); graph-level
+    targets are unaffected.
     """
     assert len(tuplesamplers) == len(annotate)
     graph = graph.coalesced()
+    if relabel is not None:
+        from .graph import rcm_reorder
+
+        assert relabel == "rcm", f"unknown relabel {relabel!r}"
+        graph = rcm_reorder(graph)
     datadict: Dict[str, Any] = {
         "x": graph.x,
         "edge_index": graph.edge_index,

@@ -287,18 +287,23 @@ class MaModel(nnx.Module):
                  npool: str = "mean", lpool: str = "max",
                  cpool: str = "mean", residual: bool = True,
                  outlayer: int = 2, mlp: Optional[dict] = None,
-                 mode: str = "DD", *, rngs: nnx.Rngs):
+                 mode: str = "DD", dtype=None, *, rngs: nnx.Rngs):
         from ..honn import ma_operator as MaOperator
 
         assert mode in ("DD", "SD")
         mlp = dict(mlp or {})
         mlp.setdefault("numlayer", 1)
         mlp.setdefault("tailact", True)
+        if dtype is not None:   # mixed precision: bf16 compute, f32 params
+            mlp.setdefault("dtype", dtype)
+        self.dtype = dtype
         self.hiddim = hiddim
         self.residual = residual
 
-        self.lin_tupleinit0 = nnx.Linear(hiddim, hiddim, rngs=rngs)
-        self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, rngs=rngs)
+        self.lin_tupleinit0 = nnx.Linear(hiddim, hiddim, dtype=dtype,
+                                         rngs=rngs)
+        self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, dtype=dtype,
+                                         rngs=rngs)
         factory = _ma_convdict(rngs, aggr, cpool, mlp, mode)[conv]
         self.subggnns = nnx.List([factory(hiddim) for _ in range(num_layer)])
         self.npool_op = MaOperator.OpPooling(1, pool=npool)
@@ -323,6 +328,18 @@ class MaModel(nnx.Module):
         A = datadict["A"]
         X: MaskedTensor = datadict["X"]
         x: MaskedTensor = datadict["x"]
+        if self.dtype is not None:
+            # bf16-dense training: the (b,n,n,d) einsums/channelwise
+            # matmuls run at the MXU's bf16 rate, params/BN stay f32
+            # (the dense analog of the sparse model's dtype path)
+            x = MaskedTensor(x.data.astype(self.dtype), x.mask)
+            X = MaskedTensor(X.data.astype(self.dtype), X.mask)
+            if isinstance(A, MaskedTensor):
+                A = MaskedTensor(A.data.astype(self.dtype), A.mask)
+            else:   # SD mode: sparse batched adjacency
+                import dataclasses as _dc
+                A = _dc.replace(A, values=None if A.values is None
+                                else A.values.astype(self.dtype))
         X = self.tupleinit(X, x)
         for conv in self.subggnns:
             tX = conv(A, X, datadict)
@@ -330,7 +347,7 @@ class MaModel(nnx.Module):
         xm = self.lpool_op(X)
         xm = xm.tuplewiseapply(lambda v: self.poolmlp(v, xm.mask))
         h_graph = self.npool_op(xm).fill_masked(0.0)
-        return self.pred_lin(h_graph)
+        return self.pred_lin(h_graph).astype(jnp.float32)
 
     forward = __call__
 

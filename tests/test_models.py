@@ -343,3 +343,106 @@ def test_group_stack_batches_mixed_buckets():
     _, scan_fn, _ = make_chained_sparse_train()
     for g in group_stack_batches(batches):
         assert np.isfinite(np.asarray(scan_fn(model, opt, g))).all()
+
+
+def test_rcm_relabel_permutation_exact():
+    """Sppretransform(relabel="rcm") must be a pure node relabeling:
+    identical tuple multiset (tuple ids mapped through the permutation,
+    tuplefeat equal), identical acd row count, and the graph-level model
+    output equal to float tolerance (the readout is permutation
+    invariant).  This is the correctness guard for the giant-graph
+    locality lever (BENCHMARKS.md "Giant-graph locality")."""
+    from functools import partial
+
+    from pygho_tpu.hodata.graph import Graph
+    from pygho_tpu.hodata.sp_data import collate_sparse
+
+    rng = np.random.default_rng(3)
+    # two communities with deliberately shuffled labels
+    n, cs = 24, 12
+    lab = rng.permutation(n)
+    edges = []
+    for ci in range(2):
+        u = rng.integers(0, cs, cs * 3) + ci * cs
+        v = rng.integers(0, cs, cs * 3) + ci * cs
+        edges.append(np.stack([lab[u], lab[v]]))
+    edges.append(np.stack([[lab[0]], [lab[cs]]]))
+    ei = np.concatenate(edges, axis=1)
+    ei = ei[:, ei[0] != ei[1]]
+    ei = np.concatenate([ei, ei[::-1]], axis=1)
+    g = Graph(x=np.arange(n, dtype=np.int64).reshape(n, 1),
+              edge_index=ei,
+              edge_attr=np.ones((ei.shape[1], 1), np.int64),
+              y=np.asarray([1.5], np.float32))
+
+    keys = [f"X___X___1___A___0"]
+    pre0 = Sppretransform(partial(KhopSampler, hop=2), [""], keys)
+    pre1 = Sppretransform(partial(KhopSampler, hop=2), [""], keys,
+                          relabel="rcm")
+    d0, d1 = pre0(g), pre1(g)
+
+    # node features are the original labels -> recover the permutation
+    perm = d1["x"][:, 0]              # new row i held original label perm[i]
+    assert sorted(perm) == list(range(n))
+    assert np.array_equal(np.sort(perm[d1["edge_index"]], axis=0).T.tolist(),
+                          np.sort(d0["edge_index"], axis=0).T.tolist())
+
+    # tuple multiset: map relabeled tuple ids back, compare as sorted sets
+    def canon(tid, tf):
+        order = np.lexsort((tid[1], tid[0]))
+        return tid[:, order], tf[order]
+    t0, f0 = canon(d0["tupleid"], d0["tuplefeat"])
+    t1, f1 = canon(perm[d1["tupleid"]], d1["tuplefeat"])
+    assert np.array_equal(t0, t1)
+    assert np.array_equal(f0, f1)
+    assert d0["X___X___1___A___0___acd"].shape == \
+        d1["X___X___1___A___0___acd"].shape
+
+    # graph-level model output is invariant
+    model = make_sp_model("NGNN", num_layer=2, hiddim=16,
+                          mlp={"norm": "none", "act": "silu"})
+    model.eval()
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+    preds = []
+    for d in (d0, d1):
+        batch = collate_sparse([d], keys, num_graphs=1)
+        preds.append(np.asarray(model(batch_to_sparse_dict(batch))))
+    assert np.abs(preds[0] - preds[1]).max() < 2e-5, preds
+
+
+def test_bf16_dense_model_trains():
+    """MaModel(dtype=bf16): the dense-DD analog of the sparse mixed
+    precision path — (b,n,n,d) einsums in bf16, params f32, loss
+    finite and decreasing, eval output close to the f32 model."""
+    import jax.numpy as jnp
+
+    graphs = synthetic_zinc("train", n_graphs=16)
+    pre = Mapretransform(spdsampler, [""])
+    datas = [pre(g) for g in graphs]
+    dl = MaDataloader(datas, 8, shuffle=True, drop_last=True,
+                      device_put=False, prefetch=0, seed=1)
+
+    model = make_ma_model("PPGN", num_layer=2, hiddim=16,
+                          dtype=jnp.bfloat16, mlp=dict(MLPD))
+    opt = make_optimizer(model, 1e-2)
+    ts, _ = make_dense_steps()
+    losses = [float(ts(model, opt, b)) for _ in range(4) for b in dl]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    for leaf in jax.tree.leaves(nnx.state(model, nnx.Param)):
+        assert leaf.dtype == jnp.float32
+
+    # same seed f32 vs bf16: eval outputs agree to bf16 tolerance
+    from pygho_tpu.hodata.ma_data import batch_to_dense_dict
+    m32 = make_ma_model("PPGN", num_layer=2, hiddim=16, seed=3,
+                        mlp={"norm": "none", "act": "silu"})
+    mbf = make_ma_model("PPGN", num_layer=2, hiddim=16, seed=3,
+                        dtype=jnp.bfloat16,
+                        mlp={"norm": "none", "act": "silu"})
+    m32.eval(), mbf.eval()
+    b0 = next(iter(dl))
+    p32 = np.asarray(m32(batch_to_dense_dict(b0)))
+    pbf = np.asarray(mbf(batch_to_dense_dict(b0)))
+    assert pbf.dtype == np.float32
+    scale = max(np.abs(p32).max(), 1e-3)
+    assert np.abs(p32 - pbf).max() / scale < 0.1, (p32, pbf)
