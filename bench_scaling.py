@@ -69,9 +69,14 @@ def ring_lattice_graph(n=8000, k=8):
     return np.stack([src, dst]), n
 
 
-def expander_graph(n=4000, deg=12, seed=1):
-    """No locality at any order: uniform random edges — every shard
-    needs most of every other shard's rows."""
+def expander_graph(n=1500, deg=96, seed=1):
+    """Dense uniform random edges (no base-graph locality; ~1.1M acd
+    rows at the defaults).  Note the measured structural fact: even
+    here the hop-1 NGNN contraction's boundary volumes stay tiny,
+    because target a=(i,j) and operand c=(i,k) share the subgraph
+    index i — tuple-sorted shards keep them co-resident.  Exchange-
+    bound regimes need contractions whose operand leading index
+    differs from the target's."""
     rng = np.random.default_rng(seed)
     u = rng.integers(0, n, n * deg // 2)
     v = rng.integers(0, n, n * deg // 2)

@@ -890,6 +890,10 @@ _STRIP_GEOMS = (
     # whose per-strip edge spans exceed any single window
     (256, 1024, 128, 128, 512, 8),
     (256, 512, 256, 128, 256, 8),
+    # Gv=16: the fragmented-community winner (556k-row 200x100 graph:
+    # 3.89 ms exact = 0.143 G rows/s vs 5.92 for the Gv=8 pick, v5e
+    # 2026-08-20; round-2's recorded best was 10.66 ms)
+    (256, 512, 256, 128, 512, 16),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which

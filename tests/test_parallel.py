@@ -894,3 +894,41 @@ def test_strategy_chooser_at_giant_scale():
         mesh, acd_p, nnz_pad, max_boundary_rows=1)
     assert name_r == "ring"
     assert maxdiff(run_r(X.values, A.values), ref.values) < 1e-4
+
+
+def test_chooser_matches_measured_winners():
+    """The chooser must reproduce the measured strategy outcome on the
+    bench_scaling shapes (BENCHMARKS.md "Scaling harness", 2026-08-20):
+    reduce_scatter — the only strategy whose exchange volume is orders
+    of magnitude larger — was the measured loser on every shape, and
+    the other three tied within noise.  So the chooser must (a) never
+    pick reduce_scatter on these shapes and (b) pick from the measured
+    tie group, and the volume model must reproduce the asymmetry that
+    made reduce_scatter lose."""
+    import bench_scaling as bs
+    from pygho_tpu.parallel import choose_partitioned_spspmm
+    from pygho_tpu.parallel.tuple_parallel import plan_exchange_volumes
+
+    P = 8
+    mesh = make_mesh((P,), ("sp",))
+    # smaller instances of the same generators (keep the test fast);
+    # the structural property (a and c share the subgraph index) is
+    # scale-free
+    shapes = {
+        "community": bs.community_graph(communities=24, csize=40),
+        "ring_lattice": bs.ring_lattice_graph(n=1024, k=8),
+        "expander": bs.expander_graph(n=256, deg=48),
+    }
+    tie_group = {"overlapped", "scatter", "ring"}
+    for name, (ei, n) in shapes.items():
+        g, tup, acd = bs.hop1_instance(ei, n)
+        nnz_pad = ((indexing.bucket_size(tup.shape[1]) + P - 1) // P) * P
+        acd_p = indexing.pad_acd(acd, indexing.bucket_size(acd.shape[1]))
+        vols = plan_exchange_volumes(acd_p, nnz_pad, P)
+        # the measured-loser asymmetry: rs moves >=20x the rows of the
+        # boundary strategies on every one of these shapes
+        assert vols["reduce_scatter"] >= 20 * vols["overlapped"], (
+            name, vols)
+        assert vols["reduce_scatter"] >= 20 * vols["scatter"], (name, vols)
+        _, chosen, _ = choose_partitioned_spspmm(mesh, acd_p, nnz_pad)
+        assert chosen in tie_group, (name, chosen, vols)
