@@ -256,21 +256,21 @@ def main():
         def att_loop(ops, plan, exact):
             # time the fwd ROLE itself (gathers + exp + num/den
             # scatter); a scalar write-back chains iterations at ~zero
-            # cost — the full wrapper adds per-call operand concats and
-            # the shift reduction, which the e2e epoch numbers cover
+            # cost.  Operands are per-operand refs now (round 3): the
+            # wrapper no longer pays packed-lane concats per call
             a1, a3, av, a2 = ops
             m = _shift_bound(a1, av)
-            U0 = jnp.concatenate([_pad_to(a1, plan.u_rows),
-                                  _pad_to(a3, plan.u_rows)], axis=-1)
-            V = _pad_to(av, plan.v_rows)
-            T = _pad_to(a2, plan.out_rows)
+            a1p = _pad_to(a1, plan.u_rows)
+            a3p = _pad_to(a3, plan.u_rows)
+            V = (_pad_to(av, plan.v_rows),)
+            T = (_pad_to(a2, plan.out_rows),)
 
-            def body(i, U):
-                nd = strip_attention_role("fwd", U, V, T, m, plan,
-                                          False, exact)
-                return U.at[0, 0].set(nd[0, 0])
+            def body(i, a1c):
+                nd = strip_attention_role("fwd", (a1c, a3p), V, T, m,
+                                          plan, False, exact)
+                return a1c.at[0, 0].set(nd[0, 0])
 
-            return jax.lax.fori_loop(0, N_ATT, body, U0)
+            return jax.lax.fori_loop(0, N_ATT, body, a1p)
 
         for mode, exact in (("exact", True), ("fast", False)):
             float(jnp.sum(att_loop(a_ops, aplans[0], exact)))

@@ -38,9 +38,11 @@ strip-side gather (the transpose of the scatter one-hot) + VPU math +
 one strip-aligned scatter — parameterized by which score factors live
 in which window and by the message expression.  Plans are the plain
 ``build_spspmm_strip_plans(acd, x_rows, e_rows, x_rows, geoms)`` triple
-on the raw (a, c, d) triples; multi-feature operands pack along the
-lanes (e.g. [a1|a3] as one (rows, 2D) window) so each stage stays one
-batched MXU primitive.
+on the raw (a, c, d) triples.  Multi-feature operand groups stay
+SEPARATE HBM refs DMA'd into per-operand VMEM planes (one shared
+one-hot, one dot per operand): the former packed-lane layout made the
+XLA wrapper materialize (rows, W*D) concats on every call — the
+measured per-call prologue cost the round-2 verdict flagged.
 """
 
 from __future__ import annotations
@@ -51,8 +53,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .strip_spspmm import (StripPlan, _batch_dot, _pack3, _sum3,
-                           estimate_strip_vmem)
+from .strip_spspmm import StripPlan, _batch_dot, estimate_strip_vmem
 
 __all__ = ["strip_attention_role", "fused_attention_strip",
            "estimate_att_vmem"]
@@ -72,39 +73,40 @@ _ROLE_WIDTHS = {
 }
 
 
-def _groups(x, n, D):
-    return tuple(x[..., i * D:(i + 1) * D] for i in range(n))
-
-
-def _att_math(role, tuv, uw, vw, tw, m, C, R, St, Rv, exact):
+def _att_math(role, tuv, u_ops, v_ops, t_ops, m, C, R, St, Rv, exact):
     """One step's G sub-chunks of the attention role ``role``.
-    tuv: (G, 3, C) i32; uw: (G, R, Wu*D); vw: (G, Rv, Wv*D);
-    tw: (G, St, Wt*D); m: (1, D) f32.  Returns (G*St, Wout*D) f32."""
+    tuv: (G, 3, C) i32; u_ops/v_ops/t_ops: per-operand window tuples of
+    (G, R, D) / (G, Rv, D) / (G, St, D); m: (1, D) f32.  Returns
+    (G*St, Wout*D) f32.
+
+    Operands arrive UNPACKED (one HBM ref per operand, DMA'd into
+    per-operand VMEM planes) — the former packed-lane layout forced the
+    XLA wrapper to materialize (rows, Wu*D) concats per call, which was
+    the measured per-call prologue cost (BENCHMARKS.md single-launch
+    attention).  Each gather shares its one-hot across the group's
+    operands; exact mode feeds the f32 operand straight into the dot
+    against the exact bf16 one-hot (Mosaic decomposes the f32 side —
+    same mixed-dot route as strip_spspmm._strip_math)."""
     import jax.lax as lax
 
     G = tuv.shape[0]
-    Wu, Wv, Wt, _ = _ROLE_WIDTHS[role]
-    D = uw.shape[-1] // Wu
     t_loc, u_loc, v_loc = tuv[:, 0, :], tuv[:, 1, :], tuv[:, 2, :]
 
-    def gather(loc, w, width):
+    def gather(loc, ops, width):
         iota = lax.broadcasted_iota(jnp.int32, (G, C, width), 2)
-        oh = jnp.where(loc[:, :, None] == iota, 1.0, 0.0).astype(
-            jnp.bfloat16)
-        if exact and w.dtype != jnp.bfloat16:
-            return _sum3(_batch_dot(oh, _pack3(w)))
-        return _batch_dot(oh, w.astype(jnp.bfloat16))
+        oh = (loc[:, :, None] == iota).astype(jnp.bfloat16)
 
-    gu = _groups(gather(u_loc, uw, R), Wu, D)
-    gv = _groups(gather(v_loc, vw, Rv), Wv, D)
+        def one(w):
+            if exact and w.dtype != jnp.bfloat16:
+                return _batch_dot(oh, w)      # mixed: Mosaic splits w
+            return _batch_dot(oh, w.astype(jnp.bfloat16))
+
+        return tuple(one(w) for w in ops)
+
+    gu = gather(u_loc, u_ops, R)
+    gv = gather(v_loc, v_ops, Rv)
     # strip-side gather: the transpose of the scatter one-hot
-    iota_s = lax.broadcasted_iota(jnp.int32, (G, C, St), 2)
-    oh_s = jnp.where(t_loc[:, :, None] == iota_s, 1.0, 0.0).astype(
-        jnp.bfloat16)
-    if exact and tw.dtype != jnp.bfloat16:
-        st = _groups(_sum3(_batch_dot(oh_s, _pack3(tw))), Wt, D)
-    else:
-        st = _groups(_batch_dot(oh_s, tw.astype(jnp.bfloat16)), Wt, D)
+    st = gather(t_loc, t_ops, St)
 
     # map gathered groups onto (u1, u3 | w, gZ, goZ | v) per role.
     # the softmax shift is PER SEGMENT: t[a] = |w[a]| * B with
@@ -141,10 +143,9 @@ def _att_math(role, tuv, uw, vw, tw, m, C, R, St, Rv, exact):
         raise ValueError(role)
 
     iota_t = lax.broadcasted_iota(jnp.int32, (G, St, C), 1)
-    oh_t = jnp.where(t_loc[:, None, :] == iota_t, 1.0, 0.0).astype(
-        jnp.bfloat16)
+    oh_t = (t_loc[:, None, :] == iota_t).astype(jnp.bfloat16)
     if exact:
-        acc = _sum3(_batch_dot(oh_t, _pack3(msg)))
+        acc = _batch_dot(oh_t, msg)          # mixed: Mosaic splits msg
     else:
         acc = _batch_dot(oh_t, msg.astype(jnp.bfloat16))
     return acc.reshape(G * St, -1)
@@ -152,77 +153,92 @@ def _att_math(role, tuv, uw, vw, tw, m, C, R, St, Rv, exact):
 
 def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
                 exact: bool, Gv: int = 1):
-    """Double-buffered attention strip kernel: u/v window DMAs plus a
-    strip-side DMA of the t-operand's own St rows per sub-chunk (base =
-    oblk*S + g*St, derived from the scalar-prefetched oblk).  ``Gv``:
-    the v window fills from Gv disjoint sub-window DMAs (multi-base
-    windows; 16-aligned bases since 2026-08-19)."""
+    """Double-buffered attention strip kernel: per-OPERAND u/v window
+    DMAs plus strip-side DMAs of each t-operand's own St rows per
+    sub-chunk (base = oblk*S + g*St, derived from the scalar-prefetched
+    oblk).  Each operand is its own HBM ref copied into its own VMEM
+    plane — no packed-lane layouts, so the XLA caller never
+    materializes operand concats (the former per-call prologue cost).
+    ``Gv``: every v-operand window fills from Gv disjoint sub-window
+    DMAs (multi-base windows; 16-aligned bases since 2026-08-19)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = S // St
     Rvs = Rv // Gv
+    Wu, Wv, Wt, _ = _ROLE_WIDTHS[role]
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, m_ref,
-               u_hbm, v_hbm, t_hbm, o_ref, ubuf, vbuf, tbuf, sems):
+    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, m_ref, *refs):
+        u_hbm = refs[:Wu]
+        v_hbm = refs[Wu:Wu + Wv]
+        t_hbm = refs[Wu + Wv:Wu + Wv + Wt]
+        o_ref, ubuf, vbuf, tbuf, sems = refs[Wu + Wv + Wt:]
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
-        # operands arrive as (rows/16, 16, W) grouped views: this
+        # operands arrive as (rows/16, 16, D) grouped views: this
         # Mosaic's tile-divisibility proof rejects dynamic-base slices
         # on ANY tiled dim wider than one lane tile (128), f32 included
-        # (probed 2026-08-19: W=128 compiles, W=256/384 do not); the
-        # grouped leading dim is untiled, and plan bases are 16-aligned
-        # (base_align=16, the planner default)
-        def u_copy(step, buf, g):
+        # (probed 2026-08-19); the grouped leading dim is untiled, and
+        # plan bases are 16-aligned (base_align=16, the planner default)
+        def u_copy(step, buf, g, w):
             return pltpu.make_async_copy(
-                u_hbm.at[pl.ds(ubase_ref[step, g] // 16, R // 16)],
-                ubuf.at[buf, g], sems.at[buf, g, 0])
+                u_hbm[w].at[pl.ds(ubase_ref[step, g] // 16, R // 16)],
+                ubuf.at[buf, g, w], sems.at[buf, g, w])
 
-        def v_copy(step, buf, g, w=0):
+        def t_copy(step, buf, g, w):
+            return pltpu.make_async_copy(
+                t_hbm[w].at[pl.ds(oblk_ref[step] * (S // 16)
+                                  + g * (St // 16), St // 16)],
+                tbuf.at[buf, g, w], sems.at[buf, g, Wu + w])
+
+        def v_copy(step, buf, g, w, sub):
             if Gv == 1:
                 return pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(vbase_ref[step, g, 0] // 16,
-                                   Rv // 16)],
-                    vbuf.at[buf, g], sems.at[buf, g, 2])
+                    v_hbm[w].at[pl.ds(vbase_ref[step, g, 0] // 16,
+                                      Rv // 16)],
+                    vbuf.at[buf, g, w], sems.at[buf, g, Wu + Wt + w])
             return pltpu.make_async_copy(
-                v_hbm.at[pl.ds(vbase_ref[step, g, w] // 16, Rvs // 16)],
-                vbuf.at[buf, g, w], sems.at[buf, g, 2 + w])
+                v_hbm[w].at[pl.ds(vbase_ref[step, g, sub] // 16,
+                                  Rvs // 16)],
+                vbuf.at[buf, g, w, sub],
+                sems.at[buf, g, Wu + Wt + w * Gv + sub])
 
-        def t_copy(step, buf, g):
-            return pltpu.make_async_copy(
-                t_hbm.at[pl.ds(oblk_ref[step] * (S // 16)
-                               + g * (St // 16), St // 16)],
-                tbuf.at[buf, g], sems.at[buf, g, 1])
+        def start_all(step, buf):
+            for g in range(G):
+                for w in range(Wu):
+                    u_copy(step, buf, g, w).start()
+                for w in range(Wt):
+                    t_copy(step, buf, g, w).start()
+                for w in range(Wv):
+                    for sub in range(Gv):
+                        v_copy(step, buf, g, w, sub).start()
 
         @pl.when(i == 0)
         def _():
-            for g in range(G):
-                u_copy(0, 0, g).start()
-                t_copy(0, 0, g).start()
-                for w in range(Gv):
-                    v_copy(0, 0, g, w).start()
+            start_all(0, 0)
 
         @pl.when(i + 1 < n)
         def _():
-            nxt = jnp.minimum(i + 1, n - 1)
-            for g in range(G):
-                u_copy(nxt, (i + 1) % 2, g).start()
-                t_copy(nxt, (i + 1) % 2, g).start()
-                for w in range(Gv):
-                    v_copy(nxt, (i + 1) % 2, g, w).start()
+            start_all(jnp.minimum(i + 1, n - 1), (i + 1) % 2)
 
         for g in range(G):
-            u_copy(i, i % 2, g).wait()
-            t_copy(i, i % 2, g).wait()
-            for w in range(Gv):
-                v_copy(i, i % 2, g, w).wait()
+            for w in range(Wu):
+                u_copy(i, i % 2, g, w).wait()
+            for w in range(Wt):
+                t_copy(i, i % 2, g, w).wait()
+            for w in range(Wv):
+                for sub in range(Gv):
+                    v_copy(i, i % 2, g, w, sub).wait()
 
-        uw = ubuf[i % 2]
-        uw = uw.reshape(G, R, uw.shape[-1])
-        vw = vbuf[i % 2].reshape(G, Rv, vbuf.shape[-1])
-        tw = tbuf[i % 2].reshape(G, St, tbuf.shape[-1])
-        acc = _att_math(role, tuv_ref[0], uw, vw, tw,
+        D = ubuf.shape[-1]
+        u_ops = tuple(ubuf[i % 2, :, w].reshape(G, R, D)
+                      for w in range(Wu))
+        v_ops = tuple(vbuf[i % 2, :, w].reshape(G, Rv, D)
+                      for w in range(Wv))
+        t_ops = tuple(tbuf[i % 2, :, w].reshape(G, St, D)
+                      for w in range(Wt))
+        acc = _att_math(role, tuv_ref[0], u_ops, v_ops, t_ops,
                         m_ref[0:1], C, R, St, Rv, exact)
 
         first = jnp.logical_or(
@@ -258,13 +274,16 @@ def estimate_att_vmem(role: str, geom, D: int, exact: bool = True,
 
 @functools.partial(jax.jit,
                    static_argnames=("role", "interpret", "exact"))
-def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
-                         T: jax.Array, m: jax.Array, plan: StripPlan,
+def strip_attention_role(role: str, U, V, T, m: jax.Array,
+                         plan: StripPlan,
                          interpret: Optional[bool] = None,
                          exact: bool = True) -> jax.Array:
-    """Run one attention role per ``plan``.  U: (>=plan.u_rows, Wu*D),
-    V: (>=plan.v_rows, Wv*D), T: (>=plan.out_rows, Wt*D), m: (1, D) f32.
-    Returns (plan.out_rows, Wout*D) f32."""
+    """Run one attention role per ``plan``.  U/V/T: PER-OPERAND tuples
+    of (>=plan.u_rows, D) / (>=plan.v_rows, D) / (>=plan.out_rows, D)
+    arrays (lengths Wu/Wv/Wt per _ROLE_WIDTHS); m: (1, D) f32.  Returns
+    (plan.out_rows, Wout*D) f32.  Keeping operands separate means the
+    caller never pays packed-lane concats — each operand streams from
+    its own HBM ref into its own VMEM window plane."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -273,22 +292,27 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
     C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
     G, Gv = plan.G, plan.Gv
     Wu, Wv, Wt, Wout = _ROLE_WIDTHS[role]
-    D = U.shape[-1] // Wu
+    U, V, T = tuple(U), tuple(V), tuple(T)
+    assert len(U) == Wu and len(V) == Wv and len(T) == Wt, (
+        role, len(U), len(V), len(T))
+    D = U[0].shape[-1]
     assert Gv == 1 or plan.v_align % 16 == 0, (
         "Gv > 1 attention plans need 16-aligned sub-window bases "
         "(build with base_align=16, the planner default)")
     assert R % 16 == 0 and (Rv // Gv) % 16 == 0 and St % 16 == 0, (
         R, Rv, Gv, St)
-    assert U.shape[-1] == Wu * D and V.shape[-1] == Wv * D \
-        and T.shape[-1] == Wt * D, (role, U.shape, V.shape, T.shape, D)
-    assert U.shape[0] >= plan.u_rows and V.shape[0] >= plan.v_rows \
-        and T.shape[0] >= plan.out_rows
+    for x in U + V + T:
+        assert x.shape[-1] == D, (role, [x.shape for x in U + V + T])
+    assert all(x.shape[0] >= plan.u_rows for x in U) \
+        and all(x.shape[0] >= plan.v_rows for x in V) \
+        and all(x.shape[0] >= plan.out_rows for x in T)
 
     def group16(x):
         return x.astype(jnp.float32)[: (x.shape[0] // 16) * 16].reshape(
             -1, 16, x.shape[-1])
 
-    U, V = group16(U), group16(V)
+    U = tuple(group16(x) for x in U)
+    V = tuple(group16(x) for x in V)
     m8 = jnp.zeros((8, D), jnp.float32).at[0].set(
         m.reshape(-1).astype(jnp.float32))
     if not interpret:
@@ -303,7 +327,7 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
             f"narrower window (autotune with D=3*hiddim is a safe "
             f"conservative filter)")
 
-    def launch(ubase, vbase, oblk, tuv_local, t_part, out_rows):
+    def launch(ubase, vbase, oblk, tuv_local, t_parts, out_rows):
         n_steps = int(oblk.shape[0])
         passes = 3 if exact else 1
         flops = 2 * n_steps * G * passes * C * D * (
@@ -322,19 +346,18 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
                 # pin operands to HBM: pl.ANY lets Mosaic place small
                 # arrays in VMEM, where the dynamic-base window DMA hits
                 # the tile-divisibility proof even for f32
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
+                *([pl.BlockSpec(memory_space=pltpu.HBM)]
+                  * (Wu + Wv + Wt)),
             ],
             out_specs=pl.BlockSpec(
                 (S, Wout * D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, G, R // 16, 16, Wu * D), jnp.float32),
-                pltpu.VMEM((2, G, Rv // 16, 16, Wv * D) if Gv == 1 else
-                           (2, G, Gv, Rv // Gv // 16, 16, Wv * D),
+                pltpu.VMEM((2, G, Wu, R // 16, 16, D), jnp.float32),
+                pltpu.VMEM((2, G, Wv, Rv // 16, 16, D) if Gv == 1 else
+                           (2, G, Wv, Gv, Rv // Gv // 16, 16, D),
                            jnp.float32),
-                pltpu.VMEM((2, G, St // 16, 16, Wt * D), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, G, 2 + Gv)),
+                pltpu.VMEM((2, G, Wt, St // 16, 16, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G, Wu + Wt + Wv * Gv)),
             ],
         )
         return pl.pallas_call(
@@ -344,7 +367,8 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
                                            jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(ubase, vbase, oblk, tuv_local, m8, U, V, group16(t_part))
+        )(ubase, vbase, oblk, tuv_local, m8, *U, *V,
+          *(group16(t) for t in t_parts))
 
     splits = plan.launch_splits or ((0, plan.n_steps, 0,
                                      plan.out_rows // S),)
@@ -355,7 +379,8 @@ def strip_attention_role(role: str, U: jax.Array, V: jax.Array,
     for (s0, s1, b0, b1) in splits:
         outs.append(launch(plan.ubase[s0:s1], plan.vbase[s0:s1],
                            plan.oblk[s0:s1] - b0, plan.tuv_local[s0:s1],
-                           T[b0 * S:b1 * S], (b1 - b0) * S))
+                           tuple(t[b0 * S:b1 * S] for t in T),
+                           (b1 - b0) * S))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -407,10 +432,12 @@ def fused_attention_strip(a1: jax.Array, a3: jax.Array, av: jax.Array,
 
 def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact):
     m = _shift_bound(a1, av)
-    U = jnp.concatenate([_pad_to(a1, fwd.u_rows),
-                         _pad_to(a3, fwd.u_rows)], axis=-1)
-    V = _pad_to(av, fwd.v_rows)
-    T = _pad_to(a2, fwd.out_rows)
+    # per-operand tuples — _pad_to is a no-op whenever the loader's
+    # row buckets already match the plan paddings (the common case), so
+    # the wrapper's former per-call concat/copy prologue vanishes
+    U = (_pad_to(a1, fwd.u_rows), _pad_to(a3, fwd.u_rows))
+    V = (_pad_to(av, fwd.v_rows),)
+    T = (_pad_to(a2, fwd.out_rows),)
     nd = strip_attention_role("fwd", U, V, T, m, fwd, interpret, exact)
     D = a1.shape[-1]
     num, den_raw = nd[:, :D], nd[:, D:]
@@ -441,21 +468,20 @@ def _att_bwd(interpret, exact, res, g):
                    / jnp.maximum(den_raw, 1e-30), 0.0)
     goZ = jnp.where(safe, gZ * out, 0.0)
     # plans were built with out_rows == x-row padding, so gZ/goZ align
-    # with a2's row space directly
-    T2 = jnp.concatenate([_pad_to(a2.astype(jnp.float32), fwdp.out_rows),
-                          _pad_to(gZ, fwdp.out_rows),
-                          _pad_to(goZ, fwdp.out_rows)], axis=-1)
+    # with a2's row space directly; per-operand tuples, no concats
+    rows2 = max(fwdp.out_rows, dxp.u_rows, dap.v_rows)
+    T2 = (_pad_to(a2.astype(jnp.float32), rows2),
+          _pad_to(gZ, rows2), _pad_to(goZ, rows2))
     rows13 = max(fwdp.u_rows, dxp.out_rows, dap.u_rows)
-    U13 = jnp.concatenate([_pad_to(a1.astype(jnp.float32), rows13),
-                           _pad_to(a3.astype(jnp.float32), rows13)],
-                          axis=-1)
-    V = _pad_to(av.astype(jnp.float32),
-                max(fwdp.v_rows, dxp.v_rows, dap.out_rows))
+    U13 = (_pad_to(a1.astype(jnp.float32), rows13),
+           _pad_to(a3.astype(jnp.float32), rows13))
+    V = (_pad_to(av.astype(jnp.float32),
+                 max(fwdp.v_rows, dxp.v_rows, dap.out_rows)),)
     da2 = strip_attention_role("dw", U13, V, T2, m, fwdp,
                                interpret, exact)[:x_rows]
-    d13 = strip_attention_role("dc", _pad_to(T2, dxp.u_rows), V,
+    d13 = strip_attention_role("dc", T2, V,
                                U13, m, dxp, interpret, exact)[:x_rows]
-    daA = strip_attention_role("dv", U13, _pad_to(T2, dap.v_rows),
+    daA = strip_attention_role("dv", U13, T2,
                                V, m, dap, interpret, exact)[:e_rows]
     da1, da3 = d13[:, :D], d13[:, D:]
     import numpy as _np
