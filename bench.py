@@ -434,6 +434,19 @@ def main():
         f"({step_rows / 1e9:.3f} G acd-rows/s incl. backward), "
         f"loss {loss:.4f} -> {final:.4f}")
 
+    # converged-protocol result (BASELINE metric c): recorded by the
+    # reference-scale run (example/zinc_tpu.py, reference NGNN tuned
+    # config, 500 epochs, best-val test selection — see BENCHMARKS.md
+    # "Converged protocol"); carried here from the runs/ artifact so the
+    # bench record always includes the latest converged MAE
+    converged = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "runs", "converged_zinc.json")) as f:
+            converged = {"converged_recorded": json.load(f)}
+    except Exception:
+        pass
+
     # headline: the EXACT-f32 kernel (the apples-to-apples match for
     # the reference's f32 elementwise hot loop, Spspmm.py:307-321);
     # bf16 fast-math and the XLA path are recorded in extra.
@@ -471,6 +484,7 @@ def main():
             "acd_rows": acd_rows,
             "platform": str(dev),
             **att,
+            **converged,
         },
     }))
 
