@@ -181,6 +181,7 @@ def build_strip_plan(
     base_align: int = 16,
     pad_steps_to: Optional[int] = None,
     Gv: int = 1,
+    steps_per_block: Optional[np.ndarray] = None,
 ) -> StripPlan:
     """Cut strip-aligned sub-chunks and pack them into G-slot steps.
 
@@ -190,6 +191,13 @@ def build_strip_plan(
     Step packing: block b's steps stack the k-th sub-chunks of its G
     strips; empty slots carry the sentinel (t_loc = St, u/v_loc = R/Rv,
     which gather zero and scatter nothing).
+
+    ``steps_per_block`` pads each output block's step run to the given
+    count (i32[out_rows // S], elementwise >= the natural counts).
+    Plans padded to a COMMON per-block table share ``oblk`` — hence
+    identical ``launch_splits`` — so they stack leaf-wise across shards
+    even when the grid needs Mosaic's multi-launch split (the v7
+    tuple-parallel strip path relies on this).
     """
     assert S % St == 0, (S, St)
     G = S // St
@@ -211,7 +219,7 @@ def build_strip_plan(
     if Gv > 1:
         return _build_strip_plan_multiv(
             t, u, v, u_rows, v_rows, out_rows, C, R, S, St, Rv,
-            base_align, pad_steps_to, Gv)
+            base_align, pad_steps_to, Gv, steps_per_block)
     au = base_align if (base_align > 1 and R % base_align == 0
                         and u_rows % base_align == 0) else 1
     av = base_align if (base_align > 1 and Rv % base_align == 0
@@ -282,6 +290,7 @@ def build_strip_plan(
     steps_per_blk = np.ones(n_blocks, np.int64)
     if n_sub:
         np.maximum.at(steps_per_blk, blk_of, k_of + 1)
+    steps_per_blk = _apply_block_pad(steps_per_blk, steps_per_block)
     blk_step_off = np.concatenate([[0], np.cumsum(steps_per_blk)[:-1]])
     n_steps = int(steps_per_blk.sum())
     if pad_steps_to is not None:
@@ -326,9 +335,24 @@ def build_strip_plan(
 
 
 
+def _apply_block_pad(steps_per_blk: np.ndarray,
+                     steps_per_block: Optional[np.ndarray]) -> np.ndarray:
+    """Raise each block's step count to the caller's common table (see
+    build_strip_plan docstring); identity when no table is given."""
+    if steps_per_block is None:
+        return steps_per_blk
+    tgt = np.asarray(steps_per_block, np.int64)
+    assert tgt.shape == steps_per_blk.shape, (tgt.shape,
+                                              steps_per_blk.shape)
+    assert np.all(tgt >= steps_per_blk), (
+        "steps_per_block must dominate the natural per-block counts "
+        f"(max deficit {int((steps_per_blk - tgt).max())})")
+    return tgt
+
+
 def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
                              C, R, S, St, Rv, base_align, pad_steps_to,
-                             Gv) -> StripPlan:
+                             Gv, steps_per_block=None) -> StripPlan:
     """Gv > 1 planner: per strip, assign v values to runs of Rv/Gv rows
     (sorted-unique greedy), batch runs Gv at a time, then cut each run
     batch by u range / count.  Local v indices are remapped to the
@@ -414,6 +438,7 @@ def _build_strip_plan_multiv(t, u, v, u_rows, v_rows, out_rows,
     steps_per_blk = np.ones(n_blocks, np.int64)
     if n_sub:
         np.maximum.at(steps_per_blk, blk_of, k_of + 1)
+    steps_per_blk = _apply_block_pad(steps_per_blk, steps_per_block)
     blk_step_off = np.concatenate([[0], np.cumsum(steps_per_blk)[:-1]])
     n_steps = int(steps_per_blk.sum())
     n_steps_padded = pad_steps_to if pad_steps_to is not None else n_steps
@@ -737,10 +762,15 @@ def build_spspmm_strip_plans(
     out_rows: int,
     geoms: dict,
     pad_steps_to: Optional[dict] = None,
+    steps_per_block_to: Optional[dict] = None,
 ) -> Tuple[StripPlan, StripPlan, StripPlan]:
     """(forward, dX, dA) strip plans from padded acd triples; ``geoms``
     maps role -> (C, R, S, St, Rv).  Same role orderings as v1
-    build_spspmm_plans_for (kernels/fused_spspmm.py)."""
+    build_spspmm_plans_for (kernels/fused_spspmm.py).
+
+    ``steps_per_block_to`` maps role -> per-block step table (see
+    build_strip_plan ``steps_per_block``); used by the v7 tuple-parallel
+    builder to make per-shard plans stack under multi-launch splits."""
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
     real = a < PAD_INDEX
@@ -749,21 +779,23 @@ def build_spspmm_strip_plans(
     def rup(n, m):
         return max(((n + m - 1) // m) * m, m)
 
-    def mk(tuv, u_rows, v_rows, o_rows, g, pad):
+    def mk(tuv, u_rows, v_rows, o_rows, g, pad, spb):
         C, R, S, St, Rv, Gv, align = normalize_strip_geom(g)
         return build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
                                 rup(o_rows, S), C, R, S, St, Rv,
-                                base_align=align, pad_steps_to=pad, Gv=Gv)
+                                base_align=align, pad_steps_to=pad, Gv=Gv,
+                                steps_per_block=spb)
 
     pad = pad_steps_to or {}
+    spb = steps_per_block_to or {}
     # no pre-sorting needed: build_strip_plan orders (strip, u, v) itself
     fwd = mk(np.stack([a, c, d]), x_rows, a_rows, out_rows,
-             geoms["fwd"], pad.get("fwd"))
+             geoms["fwd"], pad.get("fwd"), spb.get("fwd"))
     g_rows = fwd.out_rows
     dx = mk(np.stack([c, a, d]), g_rows, a_rows, x_rows,
-            geoms["dx"], pad.get("dx"))
+            geoms["dx"], pad.get("dx"), spb.get("dx"))
     da = mk(np.stack([d, c, a]), x_rows, g_rows, a_rows,
-            geoms["da"], pad.get("da"))
+            geoms["da"], pad.get("da"), spb.get("da"))
     return fwd, dx, da
 
 

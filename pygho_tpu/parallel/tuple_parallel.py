@@ -866,10 +866,12 @@ def build_fused_overlapped_shard_plan(
     per-role geometry dict (build_spspmm_plans_for format).
 
     ``kind``: "chunk" (v1) or "strip" (v2).  Strip plans stack across
-    shards only while every padded shard fits ONE kernel launch
-    (identical launch_splits are part of the pytree meta); a shard
-    needing Mosaic's multi-launch split falls the whole build back to
-    chunk plans with a warning."""
+    shards via a common per-block step table (build_strip_plan
+    ``steps_per_block``): shared oblk means shared launch_splits
+    (pytree meta), so multi-launch giant-graph shards stack too.  Only
+    a geometry the strip planner itself refuses (a single output block
+    spanning more grid steps than the Mosaic ceiling) falls the build
+    back to chunk plans with a warning."""
     from ..kernels.fused_spspmm import (DEFAULT_C, DEFAULT_R, DEFAULT_S,
                                         autotune_spspmm_geoms,
                                         build_spspmm_plans_for)
@@ -904,8 +906,7 @@ def build_fused_overlapped_shard_plan(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
 
     def plans_for_strip(tris, u_rows):
-        from ..kernels.strip_spspmm import (_MAX_GRID_STEPS,
-                                            autotune_strip_geoms,
+        from ..kernels.strip_spspmm import (autotune_strip_geoms,
                                             build_spspmm_strip_plans)
 
         g = geoms
@@ -918,14 +919,19 @@ def build_fused_overlapped_shard_plan(
                      B, D=D))
         built = [build_spspmm_strip_plans(t, u_rows, n_edge_rows, B, g)
                  for t in tris]
-        pads = {role: max(ps[i].n_steps for ps in built)
-                for i, role in enumerate(("fwd", "dx", "da"))}
-        if max(pads.values()) > _MAX_GRID_STEPS:
-            raise _StripUnstackable(
-                f"a shard's strip plan needs {max(pads.values())} steps "
-                f"(> {_MAX_GRID_STEPS} single-launch ceiling)")
+        # pad every shard to a COMMON per-block step table: plans then
+        # share oblk — hence launch_splits (pytree meta) — so they stack
+        # even when the grid needs Mosaic's multi-launch split.  An
+        # unpadded plan's oblk repeats block b exactly its natural step
+        # count, so bincount recovers the per-shard tables directly.
+        spb = {}
+        for i, role in enumerate(("fwd", "dx", "da")):
+            nb = built[0][i].out_rows // built[0][i].S
+            spb[role] = np.stack(
+                [np.bincount(np.asarray(ps[i].oblk), minlength=nb)
+                 for ps in built]).max(axis=0)
         built = [build_spspmm_strip_plans(t, u_rows, n_edge_rows, B, g,
-                                          pad_steps_to=pads)
+                                          steps_per_block_to=spb)
                  for t in tris]
         return jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
@@ -950,8 +956,11 @@ def build_fused_overlapped_shard_plan(
 
 
 class _StripUnstackable(Exception):
-    """A shard's strip plan exceeds the single-launch grid ceiling, so
-    per-shard launch_splits would diverge and the pytrees can't stack."""
+    """Legacy marker (pre-common-split-table builds): a shard's strip
+    plan exceeded the single-launch grid ceiling.  Kept for API compat;
+    the builder now stacks multi-launch plans via common per-block step
+    tables and only AssertionError (planner refusal) triggers the chunk
+    fallback."""
 
 
 def _fused_overlapped_contract(h, Av, send_row, lp, bp, B, axis):

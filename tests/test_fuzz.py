@@ -277,11 +277,27 @@ def test_fuzz_strip_planner_invariants(seed, monkeypatch):
                                base_align=align, Gv=Gv)
     _strip_plan_invariants(plan, t, u, v)
 
+    # per-block padded rebuild (the v7 stacking mechanism): a dominating
+    # random step table must keep every placement invariant, land its
+    # exact per-block counts in oblk, and stay numerically identical
+    nb = o_rows // S
+    nat = np.bincount(np.asarray(plan.oblk), minlength=nb)
+    tgt = np.maximum(np.minimum(nat + rng.integers(0, 3, nb),
+                                ss._MAX_GRID_STEPS), nat)
+    plan_p = ss.build_strip_plan(np.stack([t, u, v]), u_rows, v_rows,
+                                 o_rows, C=C, R=R, S=S, St=St, Rv=Rv,
+                                 base_align=align, Gv=Gv,
+                                 steps_per_block=tgt)
+    _strip_plan_invariants(plan_p, t, u, v)
+    assert np.array_equal(np.bincount(np.asarray(plan_p.oblk),
+                                      minlength=nb), tgt)
+
     D = 128
     U = rng.normal(size=(u_rows, D)).astype(np.float32)
     V = rng.normal(size=(v_rows, D)).astype(np.float32)
     oracle = np.zeros((o_rows, D), np.float32)
     np.add.at(oracle, t, U[u] * V[v])
-    got = np.asarray(ss.strip_contract(jnp.asarray(U), jnp.asarray(V),
-                                       plan, interpret=True, exact=True))
-    assert maxdiff(got, oracle) < 1e-4 * max(1.0, np.abs(oracle).max())
+    for p in (plan, plan_p):
+        got = np.asarray(ss.strip_contract(jnp.asarray(U), jnp.asarray(V),
+                                           p, interpret=True, exact=True))
+        assert maxdiff(got, oracle) < 1e-4 * max(1.0, np.abs(oracle).max())

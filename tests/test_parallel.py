@@ -288,8 +288,11 @@ def test_fused_overlapped_tuple_parallel_matches_spspmm(rng):
 
 def test_fused_overlapped_strip_plans_match_spspmm(rng):
     """v7 with kind='strip': per-shard strip plans stack on the device
-    axis (single-launch invariant) and match the single-device spspmm.
-    Oversized shards fall back to chunk plans with a warning."""
+    axis (common per-block step tables) and match the single-device
+    spspmm — including multi-launch grids, where shared oblk keeps
+    launch_splits (pytree meta) identical across shards.  Only a
+    planner refusal (one block over the grid ceiling) falls back to
+    chunk plans, with a warning."""
     import warnings
 
     from pygho_tpu.kernels.strip_spspmm import StripPlan
@@ -298,7 +301,10 @@ def test_fused_overlapped_strip_plans_match_spspmm(rng):
     from utils import random_sparse
 
     n, d = 16, 8
-    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
+    # X padded to 1024 tuple rows: per-shard B = 128 gives each shard
+    # TWO output blocks under the S = 64 geometry below, which the
+    # multi-launch split needs (splits cut at block boundaries)
+    X, dX, indX, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=1024)
     A, dA, indA, _ = random_sparse(rng, (n, n), 0.5, (d,), nnz_pad=256)
     tar, bcd = indexing.spspmm_ind(indX, 1, indA, 0)
     acd = indexing.filterind(indX, tar, bcd)
@@ -306,7 +312,7 @@ def test_fused_overlapped_strip_plans_match_spspmm(rng):
     ref = spspmm(X, 1, A, 0, "sum", acd=jnp.asarray(acd_p), tarX=X)
 
     mesh = make_mesh((8,), ("sp",))
-    g = (64, 128, 128, 64, 128)
+    g = (64, 128, 64, 64, 128)
     plan = build_fused_overlapped_shard_plan(
         acd_p, X.nnz_pad, 8, A.values.shape[0], D=d,
         geoms={r: g for r in ("fwd", "dx", "da")}, kind="strip")
@@ -316,11 +322,40 @@ def test_fused_overlapped_strip_plans_match_spspmm(rng):
     got = run(X.values, A.values)
     assert maxdiff(got, ref.values) < 1e-5
 
-    # fallback: force the single-launch ceiling down so strip can't stack
+    # multi-launch stacking: drop the single-launch ceiling to the
+    # longest per-block step run — every role then executes as several
+    # launches, and the common per-block tables keep the shards stacked
     import pygho_tpu.kernels.strip_spspmm as ss
+    all_plans = list(plan.loc_plans) + list(plan.bnd_plans)
+    max_blk = max(int(np.bincount(np.asarray(p.oblk[0]),
+                                  minlength=p.out_rows // p.S).max())
+                  for p in all_plans)
+    max_steps = max(int(p.oblk.shape[1]) for p in all_plans)
+    assert max_blk >= 2 and max_steps > max_blk, (
+        "workload too small to exercise multi-launch splits")
     saved = ss._MAX_GRID_STEPS
-    ss._MAX_GRID_STEPS = 1
     try:
+        ss._MAX_GRID_STEPS = max_blk
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            plan_ml = build_fused_overlapped_shard_plan(
+                acd_p, X.nnz_pad, 8, A.values.shape[0], D=d,
+                geoms={r: g for r in ("fwd", "dx", "da")}, kind="strip")
+        assert not any("falling back" in str(x.message) for x in w)
+        plans_ml = list(plan_ml.loc_plans) + list(plan_ml.bnd_plans)
+        assert all(isinstance(p, StripPlan) for p in plans_ml)
+        # any plan longer than the ceiling must now run as several
+        # launches (the largest role is by construction: its longest
+        # block run IS the ceiling, and it has other blocks too)
+        big = max(plans_ml, key=lambda p: int(p.oblk.shape[1]))
+        assert len(big.launch_splits) > 1
+        got_ml = make_fused_overlapped_spspmm(mesh, plan_ml)(
+            X.values, A.values)
+        assert maxdiff(got_ml, ref.values) < 1e-5
+
+        # chunk fallback: a ceiling below one block's step run is a
+        # planner refusal (splits cut at block boundaries)
+        ss._MAX_GRID_STEPS = max_blk - 1
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             plan2 = build_fused_overlapped_shard_plan(
