@@ -241,8 +241,41 @@ def bench_tuple_parallel(jax, d=64, n_iter=10):
             scaling[k] = acd_rows / dt
             log(f"  P={k} ({measured[0]}): {dt * 1e3:.1f} ms "
                 f"({scaling[k] / 1e6:.1f} M rows/s)")
+        # v7 strip-plan stacking at giant scale (round 3): shards whose
+        # grids exceed the Mosaic single-launch ceiling now stack via
+        # common per-block step tables instead of falling back to chunk
+        # plans.  CPU interpret execution at this row count would take
+        # hours, so this records the structural facts a TPU run needs:
+        # no fallback, launch counts, and the host planning cost.
+        import warnings as _warnings
+
+        from pygho_tpu.kernels.strip_spspmm import StripPlan
+        from pygho_tpu.parallel.tuple_parallel import (
+            build_fused_overlapped_shard_plan)
+
+        t0 = time.perf_counter()
+        with _warnings.catch_warnings(record=True) as wrec:
+            _warnings.simplefilter("always")
+            fplan = build_fused_overlapped_shard_plan(
+                acd_p, nnz_pad, P, g.num_edges, D=128, kind="strip")
+        v7_build_s = time.perf_counter() - t0
+        plans6 = list(fplan.loc_plans) + list(fplan.bnd_plans)
+        v7_stacked = all(isinstance(p, StripPlan) for p in plans6)
+        v7 = {
+            "stacked": v7_stacked,
+            "fell_back": any("falling back" in str(x.message)
+                             for x in wrec),
+            "build_s": v7_build_s,
+            "launches": [len(p.launch_splits) for p in plans6
+                         ] if v7_stacked else [],
+            "steps": [int(p.oblk.shape[1]) for p in plans6
+                      ] if v7_stacked else [],
+        }
+        log(f"  v7 strip stacking: stacked={v7['stacked']} "
+            f"launches={v7['launches']} build={v7_build_s:.1f}s")
         out[shape_name] = {
             "acd_rows": acd_rows,
+            "v7_strip": v7,
             "times_ms": {k: v * 1e3 for k, v in times.items()},
             "measured_order": measured,
             "predicted_order": predicted,
