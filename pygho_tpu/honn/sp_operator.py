@@ -79,6 +79,9 @@ class OpMessagePassing(nnx.Module):
         self.dim2 = dim2
         self.precomputekey = \
             f"{op0}{KEYSEP}{op1}{KEYSEP}{dim1}{KEYSEP}{op2}{KEYSEP}{dim2}"
+        if aggr not in ("sum", "mean", "max", "min"):
+            raise ValueError(
+                f"unknown aggr {aggr!r}; expected sum|mean|max|min")
         self.aggr = aggr
         self.message_func = message_func
 

@@ -861,11 +861,20 @@ def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
     M dim is billed at >= 128 rows (St = 64 measured at the M = 128 cost
     with half the array idle; BENCHMARKS "St=64 strips").  Re-checked
     against the round-2 measurements: the recorded fwd geometry
-    (320, 256, 512, 128, 128) bills to 250 us vs 254 us measured."""
+    (320, 256, 512, 128, 128) bills to 250 us vs 254 us measured.
+
+    Exact mode bills ONE MXU pass, same as fast: since the mixed
+    bf16xf32 dots landed (2026-08-19), exact and fast measure
+    statistically identical on the v5e — ZINC 60.8k-triple cross-probe
+    (each math on each mode's autotuned geometry) all four combos
+    within 0.124-0.133 ms; 556k-row community graph measured exact
+    3.89 ms vs 3.65 ms 1-pass estimate, where the old 3-pass billing
+    said 6.90 ms (1.77x over).  Mosaic's internal f32 decomposition
+    pipelines with the one-hot passes instead of tripling them."""
     C, R, S, St, Rv = plan.C, plan.R, plan.S, plan.St, plan.Rv
     G = plan.G
     n = plan.n_steps
-    passes = 3 if exact else 1
+    passes = 1
 
     def r128(x):
         return ((x + 127) // 128) * 128
@@ -948,7 +957,10 @@ def estimate_strip_vmem(geom, D: int, exact: bool = True,
     tuv = 2 * G * 3 * C * 4                        # block double buffer
     onehot = G * C * (R + Rv) * (2 + 4)            # bf16 one-hot + i32 iota
     oh_t = G * St * C * (2 + 4)
-    packs = (G * (R + Rv) * 3 * D * 2 + G * C * 3 * D * 2) if exact else 0
+    # exact mode no longer packs 3-term bf16 splits (mixed bf16xf32
+    # dots since 2026-08-19); budget 2 bf16 hi/lo copies per f32 dot
+    # operand as a proxy for Mosaic's internal decomposition scratch
+    packs = (G * (R + Rv) * 2 * D * 2 + G * C * 2 * D * 2) if exact else 0
     inter = 3 * G * C * D * 4                      # gathered u/v + product
     out = 2 * S * D * 4
     return win + tuv + onehot + oh_t + packs + inter + out

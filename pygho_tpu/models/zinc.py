@@ -168,7 +168,12 @@ class SpModel(nnx.Module):
             self.lin_tupleinit2 = nnx.Linear(hiddim, hiddim, dtype=dtype,
                                              rngs=rngs)
 
-        factory = _sp_convdict(rngs, aggr, cpool, mlp)[conv]
+        convdict = _sp_convdict(rngs, aggr, cpool, mlp)
+        if conv not in convdict:
+            raise ValueError(
+                f"unknown conv {conv!r}; available: "
+                f"{sorted(convdict)}")
+        factory = convdict[conv]
         self.subggnns = nnx.List([factory(hiddim) for _ in range(num_layer)])
 
         if self.is3d:
@@ -304,7 +309,12 @@ class MaModel(nnx.Module):
                                          rngs=rngs)
         self.lin_tupleinit1 = nnx.Linear(hiddim, hiddim, dtype=dtype,
                                          rngs=rngs)
-        factory = _ma_convdict(rngs, aggr, cpool, mlp, mode)[conv]
+        convdict = _ma_convdict(rngs, aggr, cpool, mlp, mode)
+        if conv not in convdict:
+            raise ValueError(
+                f"unknown conv {conv!r}; available: "
+                f"{sorted(convdict)}")
+        factory = convdict[conv]
         self.subggnns = nnx.List([factory(hiddim) for _ in range(num_layer)])
         self.npool_op = MaOperator.OpPooling(1, pool=npool)
         self.lpool_op = TensorOp.OpPoolingSubg2D("D", lpool)
