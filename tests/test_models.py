@@ -446,3 +446,16 @@ def test_bf16_dense_model_trains():
     assert pbf.dtype == np.float32
     scale = max(np.abs(p32).max(), 1e-3)
     assert np.abs(p32 - pbf).max() / scale < 0.1, (p32, pbf)
+
+
+def test_unknown_conv_and_aggr_raise_valueerror():
+    """Surface errors fail early with actionable messages: an unknown
+    conv name lists the available convs; an unknown aggr is rejected at
+    operator construction, not first reduce."""
+    with pytest.raises(ValueError, match="NOPE.*available"):
+        make_sp_model("NOPE", num_layer=1, hiddim=8)
+    with pytest.raises(ValueError, match="NOPE.*available"):
+        make_ma_model("NOPE", num_layer=1, hiddim=8)
+    from pygho_tpu.honn.sp_operator import OpMessagePassing
+    with pytest.raises(ValueError, match="bogus"):
+        OpMessagePassing(aggr="bogus")
