@@ -65,6 +65,10 @@ parser.add_argument("--data-root", type=str, default=None,
                          "(<root>/raw/{split}.pickle[+.index], the PyG "
                          "ZINC raw layout); default: synthetic_zinc "
                          "stand-in (no-egress container)")
+parser.add_argument("--converged-record", type=str, default=None,
+                    help="write a converged-protocol summary json "
+                         "(best-val/test MAE, s/epoch) to this path; "
+                         "bench.py reads runs/converged_zinc.json")
 parser.add_argument("--full", action="store_true",
                     help="with --data-root: use the full 250k ZINC "
                          "instead of the 12k benchmark subset")
@@ -263,6 +267,8 @@ def run_once(rep: int) -> float:
                 return float(np.mean([float(l) for l in losses]))
 
     best_val, tst = float("inf"), float("inf")
+    best_epoch = 0
+    epoch_times = []
     for epoch in range(1, args.epochs + 1):
         t1 = time.time()
         model.train()
@@ -297,8 +303,10 @@ def run_once(rep: int) -> float:
         val = split_mae("val")
         if val < best_val:
             best_val = val
+            best_epoch = epoch
             tst = split_mae("test")
         t3 = time.time()
+        epoch_times.append(t2 - t1)
         mem = device_memory_stats().get("peak_gb_in_use", 0.0)
         metrics.log_epoch(epoch, t2 - t1, t3 - t2, mem, loss, val, tst)
         # recompile + bucket-growth telemetry: compiles after epoch 1
@@ -312,6 +320,24 @@ def run_once(rep: int) -> float:
                      "bucket_growth": growth})
         if np.isnan(loss) or np.isnan(val):
             break
+    if args.converged_record:
+        # durable converged-protocol artifact (reference example/
+        # zinc.py:413-427: best-val test selection); bench.py carries
+        # it into every BENCH_r record as extra.converged_recorded
+        import json as _json
+        rec = {"dataset": dstag, "conv": args.conv,
+               "mode": "sparse" if args.sparse else "dense",
+               "fused": args.fused, "bf16": args.bf16,
+               "ntrain": args.ntrain, "epochs": args.epochs,
+               "hop": args.hop, "hiddim": args.hiddim,
+               "num_layer": args.num_layer, "bs": args.bs,
+               "best_val_mae": best_val, "best_val_epoch": best_epoch,
+               "tst_mae_at_best_val": tst,
+               "sec_per_epoch_median": float(np.median(epoch_times[1:]))
+               if len(epoch_times) > 1 else None}
+        with open(args.converged_record, "w") as f:
+            _json.dump(rec, f, indent=1)
+        print(f"converged record -> {args.converged_record}", flush=True)
     return tst
 
 
