@@ -1,18 +1,34 @@
 #!/bin/bash
-# Tuned configurations per model (the analog of the reference's
-# example/reproduce.sh), on the synthetic ZINC workload.
+# Tuned configurations per model — the reference's example/reproduce.sh
+# hyperparameters (lr/wd/cosT/K/K2/normparam/pools per conv, verbatim
+# from /root/reference/example/reproduce.sh:1-8), on the synthetic ZINC
+# stand-in workload (real ZINC absent in this container; pass
+# --data-root to zinc_tpu.py when the PyG raw blobs are available).
+#
+# The full converged-protocol sweep (500 epochs, best-val test
+# selection, seed-labeled artifacts in runs/converged/) lives in
+# scripts/converged_matrix.sh — this file keeps the short-run smoke
+# variant of the same matrix.
 set -e
 PY=${PY:-python}
+E=${EPOCHS:-100}
 
-$PY example/zinc_tpu.py --sparse --conv NGNN   --aggr sum --lpool mean --epochs 100 --cosT 100
-$PY example/zinc_tpu.py --sparse --conv SSWL   --aggr sum --lpool mean --epochs 100 --cosT 100
-$PY example/zinc_tpu.py --sparse --conv DSSGNN --aggr sum --cpool mean --epochs 100
-$PY example/zinc_tpu.py --sparse --conv GNNAK  --aggr sum --cpool mean --epochs 100
-$PY example/zinc_tpu.py --sparse --conv SUN    --aggr sum --cpool mean --epochs 100
-$PY example/zinc_tpu.py --sparse --conv PPGN   --epochs 100
-$PY example/zinc_tpu.py --sparse --conv I2GNN  --hop 3 --epochs 100
-$PY example/zinc_tpu.py --conv NGNN  --epochs 100   # dense DD
-$PY example/zinc_tpu.py --conv PPGN  --epochs 100   # dense DD einsum path
+# sparse (hop 3, chained+fused kernels)
+$PY example/zinc_tpu.py --sparse --conv NGNN   --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 1e-2   --wd 4.9e-5 --cosT 26 --normparam 1.94e-1 --minlr 8.4e-5  --K 4.9e-3  --K2 4.33e-6
+$PY example/zinc_tpu.py --sparse --conv SSWL   --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 9e-3   --wd 6.5e-7 --cosT 40 --normparam 0.22    --minlr 8.4e-5  --K 1.4e-2  --K2 1.0e-7
+$PY example/zinc_tpu.py --sparse --conv DSSGNN --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool sum  --cpool mean --lr 0.0086 --wd 0.012  --cosT 26 --normparam 0.31    --minlr 8.9e-6  --K 1.3e-3  --K2 2.8e-4
+$PY example/zinc_tpu.py --sparse --conv GNNAK  --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool sum  --cpool mean --lr 0.0086 --wd 0.012  --cosT 26 --normparam 0.31    --minlr 8.9e-6  --K 1.3e-3  --K2 2.8e-4
+$PY example/zinc_tpu.py --sparse --conv SUN    --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool sum  --cpool mean --lr 0.0086 --wd 0.0064 --cosT 26 --normparam 0.57    --minlr 2.4e-5  --K 5.7e-7  --K2 2.8e-4
+$PY example/zinc_tpu.py --sparse --conv PPGN   --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 4.5e-3 --wd 6.5e-6 --cosT 32 --normparam 1.85e-1 --minlr 7.0e-5  --K 1.04e-4 --K2 8.24e-5
+$PY example/zinc_tpu.py --sparse --conv I2GNN  --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 3.4e-3 --wd 3.7e-2 --cosT 26 --normparam 0.31    --minlr 2.03e-5 --K 0.011   --K2 0.0073
+$PY example/zinc_tpu.py --sparse --conv NGAT   --hop 3 --epochs $E --chained --fused --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool sum  --cpool mean --lr 1e-2   --wd 4.9e-5 --cosT 26 --normparam 1.94e-1 --minlr 8.4e-5  --K 4.9e-3  --K2 4.33e-6
+
+# dense DD (hop 4, padded einsum path)
+$PY example/zinc_tpu.py --conv NGNN --hop 4 --epochs $E --chained --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 1e-2   --wd 4.9e-5 --cosT 26 --normparam 1.94e-1 --minlr 8.4e-5 --K 4.9e-3  --K2 4.33e-6
+$PY example/zinc_tpu.py --conv PPGN --hop 4 --epochs $E --chained --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 4.5e-3 --wd 6.5e-6 --cosT 32 --normparam 1.85e-1 --minlr 7.0e-5 --K 1.04e-4 --K2 8.24e-5
+$PY example/zinc_tpu.py --conv SSWL --hop 4 --epochs $E --chained --aggr sum --mlplayer 2 --norm bn --outlayer 4 --npool sum --lpool mean --cpool mean --lr 9e-3   --wd 6.5e-7 --cosT 40 --normparam 0.22    --minlr 8.4e-5 --K 1.4e-2  --K2 1.0e-7
+
+# expressivity suite
 $PY example/expressivity_tpu.py --dataset CSL  --conv SSWL --hop 4 --epochs 80   # reaches 100% val acc ~epoch 45
 $PY example/expressivity_tpu.py --dataset EXP  --conv SSWL
 $PY example/expressivity_tpu.py --dataset sr25 --conv I2GNN --hop 2 --bs 15 --eval_train_mode --epochs 600

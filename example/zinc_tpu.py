@@ -325,19 +325,36 @@ def run_once(rep: int) -> float:
         # zinc.py:413-427: best-val test selection); bench.py carries
         # it into every BENCH_r record as extra.converged_recorded
         import json as _json
+
+        def fin(x):
+            # strict JSON has no Infinity/NaN: a run that diverged in
+            # epoch 1 leaves best_val/tst at inf — serialize as null
+            return float(x) if np.isfinite(x) else None
         rec = {"dataset": dstag, "conv": args.conv,
                "mode": "sparse" if args.sparse else "dense",
                "fused": args.fused, "bf16": args.bf16,
                "ntrain": args.ntrain, "epochs": args.epochs,
                "hop": args.hop, "hiddim": args.hiddim,
                "num_layer": args.num_layer, "bs": args.bs,
-               "best_val_mae": best_val, "best_val_epoch": best_epoch,
-               "tst_mae_at_best_val": tst,
+               "seed": rep,
+               "hps": {"lr": args.lr, "minlr": args.minlr, "wd": args.wd,
+                       "cosT": args.cosT, "K": args.K, "K2": args.K2,
+                       "normparam": args.normparam, "aggr": args.aggr,
+                       "npool": args.npool, "lpool": args.lpool,
+                       "cpool": args.cpool, "mlplayer": args.mlplayer,
+                       "outlayer": args.outlayer, "norm": args.norm},
+               "best_val_mae": fin(best_val), "best_val_epoch": best_epoch,
+               "tst_mae_at_best_val": fin(tst),
                "sec_per_epoch_median": float(np.median(epoch_times[1:]))
                if len(epoch_times) > 1 else None}
-        with open(args.converged_record, "w") as f:
+        # --repeat > 1: one seed-labeled artifact per repetition
+        path = args.converged_record
+        if args.repeat > 1:
+            stem, dot, ext = path.rpartition(".")
+            path = f"{stem}.s{rep}{dot}{ext}" if dot else f"{path}.s{rep}"
+        with open(path, "w") as f:
             _json.dump(rec, f, indent=1)
-        print(f"converged record -> {args.converged_record}", flush=True)
+        print(f"converged record -> {path}", flush=True)
     return tst
 
 

@@ -52,9 +52,10 @@ import jax.numpy as jnp
 from ..backend.indexing import PAD_INDEX
 from .fused_spspmm import _pad_rows, _split3
 
-__all__ = ["StripPlan", "build_strip_plan", "strip_contract",
-           "build_spspmm_strip_plans", "fused_spspmm_strip",
-           "estimate_strip_cost", "autotune_strip_geoms"]
+__all__ = ["StripPlan", "StripPlanError", "build_strip_plan",
+           "strip_contract", "build_spspmm_strip_plans",
+           "fused_spspmm_strip", "estimate_strip_cost",
+           "autotune_strip_geoms"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +90,24 @@ class StripPlan:
     # DMA lookahead.  2 = classic double buffering; small-window
     # geometries with ~1-2 us steps need 3-4 to hide HBM DMA latency
     nbuf: int = 2
+    # persistent v windows (giant-graph mode): i32[n_steps, 6] schedule
+    # [use_slot, wait_flag, load_base0, load_slot0, load_base1,
+    # load_slot1] — the v window (e.g. one community's edge block) stays
+    # resident in one of 2 VMEM slots across every step that references
+    # it, and is DMA'd ONCE per window instead of once per step.  None =
+    # classic per-step double-buffered v windows.
+    v_sched: Optional[jax.Array] = None
+
+    @property
+    def v_persistent(self) -> bool:
+        return self.v_sched is not None
+
+    @property
+    def n_v_windows(self) -> int:
+        if self.v_sched is None:
+            return self.n_steps
+        vs = np.asarray(self.v_sched)
+        return int((vs[:, [2, 4]] >= 0).sum())
 
     @property
     def G(self) -> int:
@@ -105,7 +124,7 @@ class StripPlan:
 
 jax.tree_util.register_dataclass(
     StripPlan,
-    data_fields=["tuv_local", "ubase", "vbase", "oblk"],
+    data_fields=["tuv_local", "ubase", "vbase", "oblk", "v_sched"],
     meta_fields=["C", "R", "S", "St", "Rv", "out_rows", "u_rows",
                  "v_rows", "u_align", "v_align", "Gv", "launch_splits",
                  "nbuf"],
@@ -137,6 +156,14 @@ except Exception:  # pragma: no cover
 _MAX_GRID_STEPS = 512
 
 
+class StripPlanError(ValueError):
+    """The strip planner refused a (geometry, workload) pair — e.g. one
+    output block alone exceeds the Mosaic grid ceiling, or a common
+    per-block step table fails to dominate a shard's natural counts.
+    Raised (not assert'ed) so the chunk-plan fallback in
+    parallel/tuple_parallel.py still fires under ``python -O``."""
+
+
 def _launch_splits(oblk: np.ndarray, n_blocks: int,
                    max_steps: Optional[int] = None) -> tuple:
     """Static (step_start, step_end, blk_start, blk_end) launch ranges,
@@ -158,14 +185,59 @@ def _launch_splits(oblk: np.ndarray, n_blocks: int,
             s1 = n
         else:
             cands = starts[(starts > s0) & (starts <= limit)]
-            assert len(cands), (
-                f"one output block spans more than {max_steps} steps; "
-                f"raise St or C (block at step {s0})")
+            if not len(cands):
+                raise StripPlanError(
+                    f"one output block spans more than {max_steps} "
+                    f"steps; raise St or C (block at step {s0})")
             s1 = int(cands[-1])
         b1 = int(oblk[s1 - 1]) + 1 if s1 < n else n_blocks
         splits.append((s0, s1, b0, b1))
         s0, b0 = s1, b1
     return tuple(splits)
+
+
+def _build_v_sched(win_step: np.ndarray, wbases: np.ndarray,
+                   splits: tuple) -> np.ndarray:
+    """Persistent-v DMA schedule: i32[n_steps, 6] rows
+    [use_slot, wait_flag, load_base0, load_slot0, load_base1,
+    load_slot1] (-1 base = no load).  Windows alternate between 2 VMEM
+    slots; window k+1's DMA starts at window k's first-use step, so it
+    lands under k's compute.  Each launch split restarts the schedule
+    (scratch does not survive a pallas_call boundary)."""
+    n = len(win_step)
+    sched = np.zeros((n, 6), np.int32)
+    sched[:, 2] = -1
+    sched[:, 4] = -1
+    for (s0, s1, _b0, _b1) in (splits or ((0, n, 0, 0),)):
+        seq: list = []          # window ordinals, in first-use order
+        first: list = []        # their first-use steps within [s0, s1)
+        prev = None
+        for s in range(s0, s1):
+            w = int(win_step[s])
+            if w != prev:
+                # greedy assignment is monotone: a window never recurs
+                # after a different one, so runs are maximal
+                seq.append(w)
+                first.append(s)
+                prev = w
+        slot_of = {w: k % 2 for k, w in enumerate(seq)}
+        sched[s0:s1, 0] = [slot_of[int(win_step[s])]
+                           for s in range(s0, s1)]
+        for k, f in enumerate(first):
+            sched[f, 1] = 1                       # wait before first use
+        if seq:
+            sched[s0, 2] = wbases[seq[0]]
+            sched[s0, 3] = 0
+        if len(seq) > 1:
+            sched[s0, 4] = wbases[seq[1]]
+            sched[s0, 5] = 1
+        for k in range(1, len(seq) - 1):
+            # window k+1 loads when window k comes into use; its slot
+            # (k+1)%2 was last read at step first[k]-1, so the DMA can
+            # overwrite it safely under the sequential grid
+            sched[first[k], 2] = wbases[seq[k + 1]]
+            sched[first[k], 3] = (k + 1) % 2
+    return sched
 
 
 def build_strip_plan(
@@ -182,6 +254,7 @@ def build_strip_plan(
     pad_steps_to: Optional[int] = None,
     Gv: int = 1,
     steps_per_block: Optional[np.ndarray] = None,
+    v_persistent: bool = False,
 ) -> StripPlan:
     """Cut strip-aligned sub-chunks and pack them into G-slot steps.
 
@@ -198,9 +271,23 @@ def build_strip_plan(
     identical ``launch_splits`` — so they stack leaf-wise across shards
     even when the grid needs Mosaic's multi-launch split (the v7
     tuple-parallel strip path relies on this).
+
+    ``v_persistent``: consecutive steps whose v needs fit one window
+    share it — the kernel DMAs each distinct window ONCE (into one of 2
+    VMEM slots, next window prefetched under the current window's
+    steps) instead of re-issuing a window DMA per step.  This removes
+    the window-byte amplification on fragmented giant graphs where a
+    wide Rv (e.g. 2048 rows = one community's whole edge block) is
+    reused by every step of that community (BENCHMARKS "giant-graph
+    locality limits": per-step window DMA was ~8x the useful bytes).
+    Requires G == 1 (S == St) and Gv == 1.
     """
     assert S % St == 0, (S, St)
     G = S // St
+    if v_persistent and (G != 1 or Gv > 1):
+        raise StripPlanError(
+            f"v_persistent needs G == 1 (S == St) and Gv == 1; got "
+            f"S={S}, St={St}, Gv={Gv}")
     Rv = R if Rv is None else Rv
     tuv = np.asarray(tuv)
     t, u, v = tuv[0], tuv[1], tuv[2]
@@ -273,6 +360,21 @@ def build_strip_plan(
     vbs = np.minimum((vbs // av) * av, v_rows - Rv)
 
     n_sub = len(starts)
+    if v_persistent and n_sub:
+        # greedy window merging: a sub-chunk keeps the current window
+        # when its whole v range fits; community-contiguous workloads
+        # then reuse one window for every step of the community.
+        # (chunker output is a contiguous cover, so reduceat segments
+        # are exactly [starts[i], ends[i]))
+        vmaxs = np.maximum.reduceat(v, starts)
+        wb = np.zeros(n_sub, np.int64)      # assigned window base
+        wid = np.zeros(n_sub, np.int64)     # window ordinal (monotone)
+        W, k = None, -1
+        for ci in range(n_sub):             # host loop: n_sub ~ 1e3-1e4
+            if W is None or vbs[ci] < W or vmaxs[ci] >= W + Rv:
+                W, k = int(vbs[ci]), k + 1
+            wb[ci], wid[ci] = W, k
+        vbs = wb
     n_blocks = out_rows // S
     blk_of = strips // G
     slot_of = strips % G
@@ -327,11 +429,35 @@ def build_strip_plan(
         tuv_local[si, gi, 1, pos] = (u[rows] - ubs[cid]).astype(np.int32)
         tuv_local[si, gi, 2, pos] = (v[rows] - vbs[cid]).astype(np.int32)
 
+    splits = _launch_splits(oblk, n_blocks)
+    v_sched = None
+    if v_persistent:
+        # per-step window ordinals: real steps carry their sub-chunk's
+        # window; padding steps inherit the previous real window
+        # (leading padding backfills window 0 — loaded at launch start)
+        win_step = np.full(n_steps_padded, -1, np.int64)
+        if n_sub:
+            win_step[blk_step_off[blk_of] + k_of] = wid
+            pos = np.arange(n_steps_padded)
+            ffidx = np.where(win_step >= 0, pos, -1)
+            np.maximum.accumulate(ffidx, out=ffidx)
+            win_step = np.where(ffidx >= 0,
+                                win_step[np.maximum(ffidx, 0)], wid[0])
+            wbases = np.zeros(int(wid.max()) + 1, np.int64)
+            wbases[wid] = vbs
+        else:
+            win_step[:] = 0
+            wbases = np.zeros(1, np.int64)
+        # padding steps' vbase mirrors the window base (the kernel's
+        # wait descriptor reads vbase at the window's first-use step)
+        vbase[:, 0, 0] = wbases[win_step]
+        v_sched = _build_v_sched(win_step, wbases, splits)
+
     return StripPlan(
         tuv_local=tuv_local, ubase=ubase, vbase=vbase, oblk=oblk,
         C=C, R=R, S=S, St=St, Rv=Rv, out_rows=out_rows,
         u_rows=u_rows, v_rows=v_rows, u_align=au, v_align=av,
-        launch_splits=_launch_splits(oblk, n_blocks))
+        launch_splits=splits, v_sched=v_sched)
 
 
 
@@ -342,11 +468,14 @@ def _apply_block_pad(steps_per_blk: np.ndarray,
     if steps_per_block is None:
         return steps_per_blk
     tgt = np.asarray(steps_per_block, np.int64)
-    assert tgt.shape == steps_per_blk.shape, (tgt.shape,
-                                              steps_per_blk.shape)
-    assert np.all(tgt >= steps_per_blk), (
-        "steps_per_block must dominate the natural per-block counts "
-        f"(max deficit {int((steps_per_blk - tgt).max())})")
+    if tgt.shape != steps_per_blk.shape:
+        raise StripPlanError(
+            f"steps_per_block shape {tgt.shape} != natural "
+            f"{steps_per_blk.shape}")
+    if not np.all(tgt >= steps_per_blk):
+        raise StripPlanError(
+            "steps_per_block must dominate the natural per-block counts "
+            f"(max deficit {int((steps_per_blk - tgt).max())})")
     return tgt
 
 
@@ -535,6 +664,82 @@ def _strip_math(tuv, uw, vw, C, R, St, Rv, exact):
     return acc.reshape(G * St, -1)
 
 
+def _strip_kernel_pv(C: int, R: int, St: int, Rv: int, exact: bool,
+                     gu: int = 1, gv: int = 1, nbuf: int = 2):
+    """Persistent-v variant (G == 1): u windows ride the classic
+    per-step nbuf pipeline; the v window lives in one of 2 VMEM slots
+    and is DMA'd once per DISTINCT window per the host schedule
+    (StripPlan.v_sched) — window k+1's copy starts at window k's
+    first-use step and lands under its compute.  See build_strip_plan
+    ``v_persistent``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ubase_ref, vbase_ref, oblk_ref, vs_ref, tuv_ref,
+               u_hbm, v_hbm, o_ref, ubuf, vbuf, usems, vsems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def u_copy(step, buf):
+            src = (u_hbm.at[pl.ds(ubase_ref[step, 0], R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ubase_ref[step, 0] // gu, R // gu)])
+            return pltpu.make_async_copy(src, ubuf.at[buf],
+                                         usems.at[buf])
+
+        def v_desc(base, slot):
+            src = (v_hbm.at[pl.ds(base, Rv)] if gv == 1 else
+                   v_hbm.at[pl.ds(base // gv, Rv // gv)])
+            return pltpu.make_async_copy(src, vbuf.at[slot],
+                                         vsems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            u_copy(0, 0).start()
+            for k in range(1, nbuf - 1):
+                @pl.when(k < n)
+                def _(k=k):
+                    u_copy(jnp.minimum(k, n - 1), k % nbuf).start()
+
+        @pl.when(i + nbuf - 1 < n)
+        def _():
+            nxt = jnp.minimum(i + nbuf - 1, n - 1)
+            u_copy(nxt, (i + nbuf - 1) % nbuf).start()
+
+        # v loads per the host schedule (up to 2, both at a launch's
+        # first step; later steps start at most one lookahead window)
+        for w in (0, 1):
+            @pl.when(vs_ref[i, 2 + 2 * w] >= 0)
+            def _(w=w):
+                v_desc(vs_ref[i, 2 + 2 * w], vs_ref[i, 3 + 2 * w]).start()
+
+        u_copy(i, i % nbuf).wait()
+        use = vs_ref[i, 0]
+
+        @pl.when(vs_ref[i, 1] == 1)
+        def _():
+            # first use of this window: wait out its DMA (descriptor
+            # reconstructed from this step's vbase — the window base)
+            v_desc(vbase_ref[i, 0, 0], use).wait()
+
+        # (grouped or flat) -> the (G=1, rows, D) layout _strip_math eats
+        uw = ubuf[i % nbuf].reshape(1, R, ubuf.shape[-1])
+        vw = vbuf[use].reshape(1, Rv, vbuf.shape[-1])
+        acc = _strip_math(tuv_ref[0], uw, vw, C, R, St, Rv, exact)
+
+        first = jnp.logical_or(
+            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    return kernel
+
+
 def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
                   gu: int = 1, gv: int = 1, Gv: int = 1, nbuf: int = 2):
     """Pipelined strip kernel: the window DMAs of the next ``nbuf - 1``
@@ -671,7 +876,9 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             f" MB budget) at D={D} — Mosaic would exhaust VMEM; pick a "
             f"narrower window / smaller G = S//St (autotune_strip_geoms "
             f"filters candidates automatically)")
-    def launch(ubase, vbase, oblk, tuv_local, out_rows):
+    pv = plan.v_sched is not None
+
+    def launch(ubase, vbase, oblk, tuv_local, out_rows, v_sched=None):
         n_steps = int(oblk.shape[0])
         passes = 3 if exact else 1
         flops = 2 * n_steps * G * passes * (C * R * D + C * Rv * D
@@ -680,6 +887,37 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             flops=flops,
             bytes_accessed=n_steps * G * (R + Rv + St) * D * 4,
             transcendentals=0)
+        if pv:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((1, G, 3, C), lambda i, *refs:
+                                 (i, 0, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (S, D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((nb, R, D) if gu == 1 else
+                               (nb, R // gu, gu, D), U.dtype),
+                    # 2 persistent slots, not nbuf step buffers
+                    pltpu.VMEM((2, Rv, D) if gv == 1 else
+                               (2, Rv // gv, gv, D), V.dtype),
+                    pltpu.SemaphoreType.DMA((nb,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            return pl.pallas_call(
+                _strip_kernel_pv(C, R, St, Rv, exact, gu=gu, gv=gv,
+                                 nbuf=nb),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((out_rows, D),
+                                               jnp.float32),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(ubase, vbase, oblk, v_sched, tuv_local, U, V)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_steps,),
@@ -714,14 +952,18 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
                                      plan.out_rows // S),)
     if len(splits) == 1:
         return launch(plan.ubase, plan.vbase, plan.oblk,
-                      plan.tuv_local, plan.out_rows)
+                      plan.tuv_local, plan.out_rows, plan.v_sched)
     # Mosaic grid-length ceiling (see launch_splits): several launches
     # over disjoint block ranges; slices are static, outputs concat
+    # (v_sched is built split-aware: each split's first step reloads
+    # and waits its windows, since scratch dies at the call boundary)
     outs = []
     for (s0, s1, b0, b1) in splits:
         outs.append(launch(plan.ubase[s0:s1], plan.vbase[s0:s1],
                            plan.oblk[s0:s1] - b0,
-                           plan.tuv_local[s0:s1], (b1 - b0) * S))
+                           plan.tuv_local[s0:s1], (b1 - b0) * S,
+                           None if plan.v_sched is None
+                           else plan.v_sched[s0:s1]))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -730,29 +972,37 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
 # ---------------------------------------------------------------------------
 
 
-def normalize_strip_geom(g) -> Tuple[int, int, int, int, int, int, int]:
+def normalize_strip_geom(g) -> Tuple[int, int, int, int, int, int, int,
+                                     int]:
     """Accept v1-style (C, R, S) / (C, R, S, Rv), 5-tuple strip
-    (C, R, S, St, Rv), 6-tuple (..., Gv), or full 7-tuple
-    (..., Gv, align); fill defaults St = S//4 (when 8-aligned),
-    Gv = 1 and align = 16.
+    (C, R, S, St, Rv), 6-tuple (..., Gv), 7-tuple (..., Gv, align), or
+    full 8-tuple (..., Gv, align, pv); fill defaults St = S//4 (when
+    8-aligned), Gv = 1, align = 16 and pv = 0.
 
     ``align`` is the plan's window-base alignment (build_strip_plan's
     ``base_align``): 16 keeps bf16 grouped-DMA views legal; 1 gives the
     chunker the FULL window range (R_eff = R), which matters for tight
     R=128 windows where losing 15 rows of range fragments every strip
     (bf16 operands then upcast to f32 at the kernel boundary — measured
-    neutral at molecule scale, BENCHMARKS "bf16-operand fused kernel")."""
+    neutral at molecule scale, BENCHMARKS "bf16-operand fused kernel").
+
+    ``pv`` = 1 selects persistent v windows (build_strip_plan
+    ``v_persistent``): the v window is DMA'd once per distinct window
+    (e.g. once per community edge block) instead of once per step —
+    the giant-graph fragmentation fix.  Requires G == 1 and Gv == 1."""
     g = tuple(int(x) for x in g)
-    if len(g) == 7:
+    if len(g) == 8:
         return g
+    if len(g) == 7:
+        return g + (0,)
     if len(g) == 6:
-        return g + (16,)
+        return g + (16, 0)
     if len(g) == 5:
-        return g + (1, 16)
+        return g + (1, 16, 0)
     C, R, S = g[:3]
     Rv = g[3] if len(g) == 4 else R
     St = S // 4 if (S % 4 == 0 and (S // 4) % 8 == 0) else S
-    return (C, R, S, St, Rv, 1, 16)
+    return (C, R, S, St, Rv, 1, 16, 0)
 
 
 def build_spspmm_strip_plans(
@@ -780,11 +1030,12 @@ def build_spspmm_strip_plans(
         return max(((n + m - 1) // m) * m, m)
 
     def mk(tuv, u_rows, v_rows, o_rows, g, pad, spb):
-        C, R, S, St, Rv, Gv, align = normalize_strip_geom(g)
+        C, R, S, St, Rv, Gv, align, pv = normalize_strip_geom(g)
         return build_strip_plan(tuv, rup(u_rows, R), rup(v_rows, Rv),
                                 rup(o_rows, S), C, R, S, St, Rv,
                                 base_align=align, pad_steps_to=pad, Gv=Gv,
-                                steps_per_block=spb)
+                                steps_per_block=spb,
+                                v_persistent=bool(pv))
 
     pad = pad_steps_to or {}
     spb = steps_per_block_to or {}
@@ -855,6 +1106,11 @@ def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
                         itemsize: int = 4) -> float:
     """Calibrated time estimate (seconds) for one strip_contract launch.
 
+    ``exact`` is intentionally unused since 2026-08-19 (kept for call
+    compatibility): exact and fast bill the SAME single MXU pass — see
+    the measurement note below.  It still matters in
+    `estimate_strip_vmem`, which budgets exact-mode scratch.
+
     MXU billing is tile-aware: the contraction (K) dim of each matmul is
     rounded up to 128 lanes (gathers contract over R/Rv, the scatter
     over C — so C = 160 bills its scatter at K = 256), and the streamed
@@ -884,8 +1140,15 @@ def estimate_strip_cost(plan: StripPlan, D: int, exact: bool = True,
     mxu = passes * G * (gath + scat) / _MXU_FLOPS
     vpu = G * (C * (R + Rv) + St * C) / _VPU_RATE
     t_comp = mxu + vpu
-    t_dma = G * (R + Rv) * D * itemsize / _HBM_BW
-    total = n * (max(t_comp, t_dma) + _STEP_FIXED)
+    if plan.v_persistent:
+        # v windows are DMA'd once per DISTINCT window; only u rides
+        # the per-step DMA stream
+        t_dma = G * R * D * itemsize / _HBM_BW
+        total = n * (max(t_comp, t_dma) + _STEP_FIXED)
+        total += plan.n_v_windows * Rv * D * itemsize / _HBM_BW
+    else:
+        t_dma = G * (R + Rv) * D * itemsize / _HBM_BW
+        total = n * (max(t_comp, t_dma) + _STEP_FIXED)
     total += plan.out_rows * D * itemsize / _HBM_BW
     total += n * G * (3 * C + 16) * 4 / _HBM_BW
     return total
@@ -935,6 +1198,16 @@ _STRIP_GEOMS = (
     # 3.89 ms exact = 0.143 G rows/s vs 5.92 for the Gv=8 pick, v5e
     # 2026-08-20; round-2's recorded best was 10.66 ms)
     (256, 512, 256, 128, 512, 16),
+    # persistent-v-window family (pv=1): the v window covers a whole
+    # community edge block and is DMA'd once per community — removes
+    # the fragmented-graph window-byte amplification (the measured
+    # round-3 bottleneck).  Wide Rv bills its one-hot K honestly in
+    # the cost model, so these only win when window reuse is high.
+    (512, 512, 128, 128, 2048, 1, 16, 1),
+    (512, 512, 128, 128, 1536, 1, 16, 1),
+    (384, 512, 128, 128, 2048, 1, 16, 1),
+    (256, 512, 128, 128, 2048, 1, 16, 1),
+    (512, 256, 128, 128, 1024, 1, 16, 1),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which
@@ -951,7 +1224,7 @@ def estimate_strip_vmem(geom, D: int, exact: bool = True,
     reject geometries that would crash the Mosaic compiler (observed:
     (512, 1024, 1024, 256, 1024) at D=128 exhausts the 16 MB VMEM with
     register-allocator spills)."""
-    C, R, S, St, Rv, _Gv, _al = normalize_strip_geom(geom)
+    C, R, S, St, Rv, _Gv, _al, _pv = normalize_strip_geom(geom)
     G = S // St
     win = 2 * G * (R + Rv) * D * itemsize          # double-buffered windows
     tuv = 2 * G * 3 * C * 4                        # block double buffer
@@ -966,11 +1239,55 @@ def estimate_strip_vmem(geom, D: int, exact: bool = True,
     return win + tuv + onehot + oh_t + packs + inter + out
 
 
+_PROBE_CACHE: dict = {}
+
+
+def _probe_strip_geom(geom, D: int, exact: bool) -> bool:
+    """Compile-probe one candidate geometry: AOT-compile a tiny
+    one-launch `strip_contract` instance and report whether Mosaic
+    accepts it.  The crash modes this guards (register-allocator VMEM
+    spills, tile-divisibility proofs — CLAUDE.md "Mosaic remote compile
+    CRASHES on") depend only on (geometry, D, dtype math), not on the
+    workload, so a minimal synthetic plan is a faithful probe.  Results
+    are cached per process; non-TPU backends (interpret mode) trivially
+    pass.  Regression seed: (256, 256, 512, 128, 256, 8) builds a valid
+    plan but dies in Mosaic compile (BENCHMARKS 2026-08-20)."""
+    key = (normalize_strip_geom(geom), D, bool(exact))
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    if jax.default_backend() != "tpu":
+        return True     # interpret mode can't crash Mosaic; don't cache
+    C, R, S, St, Rv, Gv, align, pv = normalize_strip_geom(geom)
+    ok = True
+    try:
+        tuv = np.stack([np.arange(S, dtype=np.int64),
+                        np.zeros(S, dtype=np.int64),
+                        np.zeros(S, dtype=np.int64)])
+        plan = build_strip_plan(tuv, R, Rv, S, C, R, S, St, Rv,
+                                base_align=align, Gv=Gv,
+                                v_persistent=bool(pv))
+        U = jax.ShapeDtypeStruct((R, D), jnp.float32)
+        V = jax.ShapeDtypeStruct((Rv, D), jnp.float32)
+        strip_contract.lower(U, V, plan, exact=exact).compile()
+    except Exception as ex:    # Mosaic failures surface as many types
+        import warnings
+
+        warnings.warn(f"strip geometry {geom} failed compile probe "
+                      f"({type(ex).__name__}: {str(ex)[:200]}); "
+                      f"falling back to next-best candidate")
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
 def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
                          out_rows: int, D: int = 128, exact: bool = True,
-                         candidates=None) -> dict:
+                         candidates=None, probe: bool = True) -> dict:
     """Per-role strip geometry by building REAL plans per candidate and
-    scoring with estimate_strip_cost (mirrors v1 autotune_spspmm_geoms)."""
+    scoring with estimate_strip_cost (mirrors v1 autotune_spspmm_geoms).
+    The cost-ranked winner is compile-probed (`_probe_strip_geom`)
+    before selection so a Mosaic-crashing geometry can never take down
+    training — it falls back to the next-best candidate instead."""
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
     real = a < PAD_INDEX
@@ -980,29 +1297,34 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
         return max(((n + m - 1) // m) * m, m)
 
     def tune(tuv, u_rows, v_rows, o_rows):
-        best = None
+        scored = []
         pool = [g for g in (candidates or _STRIP_GEOMS)
                 if estimate_strip_vmem(g, D, exact) <= _VMEM_BUDGET]
         if not pool:  # degenerate D: take the smallest-footprint entry
             pool = [min(candidates or _STRIP_GEOMS,
                         key=lambda g: estimate_strip_vmem(g, D, exact))]
         for g in pool:
-            C, R, S, St, Rv, Gv, align = normalize_strip_geom(g)
+            C, R, S, St, Rv, Gv, align, pv = normalize_strip_geom(g)
             try:
                 plan = build_strip_plan(tuv, rup(u_rows, R),
                                         rup(v_rows, Rv),
                                         rup(o_rows, S), C, R, S, St, Rv,
-                                        base_align=align, Gv=Gv)
-            except AssertionError:
+                                        base_align=align, Gv=Gv,
+                                        v_persistent=bool(pv))
+            except (AssertionError, StripPlanError):
                 # e.g. one output block needs more grid steps than the
                 # Mosaic ceiling and launch splitting can't cut it —
                 # this candidate simply doesn't fit the workload
                 continue
-            cost = estimate_strip_cost(plan, D, exact)
-            if best is None or cost < best[1]:
-                best = (g, cost)
-        assert best is not None, "no strip geometry candidate fits"
-        return best[0]
+            scored.append((estimate_strip_cost(plan, D, exact), g))
+        if not scored:
+            raise StripPlanError("no strip geometry candidate fits")
+        scored.sort(key=lambda cg: cg[0])
+        for _, g in scored:
+            if not probe or _probe_strip_geom(g, D, exact):
+                return g
+        raise StripPlanError(
+            "every fitting strip geometry failed its compile probe")
 
     g_fwd = tune(np.stack([a, c, d]), x_rows, a_rows, out_rows)
     g_rows = rup(out_rows, g_fwd[2])

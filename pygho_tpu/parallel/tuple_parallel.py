@@ -937,12 +937,16 @@ def build_fused_overlapped_shard_plan(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *built)
 
     plans_for = plans_for_strip if kind == "strip" else plans_for_chunk
+    from ..kernels.strip_spspmm import StripPlanError as _StripPlanError
     try:
         loc_plans = plans_for(tris_of(base.acd_loc), B)
         bnd_plans = plans_for(tris_of(base.acd_bnd), pool_rows)
-    except (_StripUnstackable, AssertionError) as ex:
-        # AssertionError: the strip planner itself refused the geometry
-        # (e.g. one output block alone exceeds the grid ceiling)
+    except (_StripUnstackable, _StripPlanError) as ex:
+        # _StripPlanError: the strip planner itself refused the geometry
+        # (e.g. one output block alone exceeds the grid ceiling, or the
+        # common step table fails to dominate a shard).  A dedicated
+        # exception — not AssertionError — so the fallback still fires
+        # under `python -O` and genuine planner bugs stay loud.
         if kind != "strip":
             raise
         import warnings

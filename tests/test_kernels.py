@@ -736,11 +736,11 @@ def test_strip_vmem_guard_and_geom_normalizer():
     for g in ((256, 256, 512, 128, 128), (320, 256, 512, 128, 128)):
         assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
     assert normalize_strip_geom((128, 256, 128)) == (128, 256, 128, 32,
-                                                     256, 1, 16)
-    assert normalize_strip_geom((256, 256, 512, 64)) == (256, 256, 512,
-                                                         128, 64, 1, 16)
+                                                     256, 1, 16, 0)
+    assert normalize_strip_geom((256, 256, 512, 64)) == (
+        256, 256, 512, 128, 64, 1, 16, 0)
     assert normalize_strip_geom((128, 128, 1024, 128, 128, 1, 1)) == (
-        128, 128, 1024, 128, 128, 1, 1)
+        128, 128, 1024, 128, 128, 1, 1, 0)
     # autotune output respects the budget even on adversarial triples
     rng = np.random.default_rng(0)
     K = 8192
@@ -751,6 +751,49 @@ def test_strip_vmem_guard_and_geom_normalizer():
                                  D=128)
     for g in geoms.values():
         assert estimate_strip_vmem(g, 128, True) <= _VMEM_BUDGET
+
+
+def test_autotune_compile_probe_fallback(monkeypatch):
+    """A Mosaic-crashing winner cannot take down training: when the
+    cost-ranked best geometry fails its compile probe, the autotuner
+    falls back to the runner-up (regression seed: (256,256,512,128,256,8)
+    built a valid plan but died in Mosaic compile, BENCHMARKS
+    2026-08-20)."""
+    from pygho_tpu.kernels import strip_spspmm as ss
+
+    rng = np.random.default_rng(1)
+    K = 4096
+    t = np.sort(rng.integers(0, 4096, K))
+    u = rng.integers(0, 8192, K)
+    v = rng.integers(0, 8192, K)
+    tuv = np.stack([t, u, v])
+
+    # establish the unprobed cost-ranked winner per role
+    base = ss.autotune_strip_geoms(tuv, 8192, 8192, 4096, D=128,
+                                   probe=False)
+
+    # fake a Mosaic compile failure for exactly those winners
+    dead = {ss.normalize_strip_geom(g) for g in base.values()}
+    probed = []
+
+    def fake_probe(geom, D, exact):
+        probed.append(geom)
+        return ss.normalize_strip_geom(geom) not in dead
+
+    monkeypatch.setattr(ss, "_probe_strip_geom", fake_probe)
+    geoms = ss.autotune_strip_geoms(tuv, 8192, 8192, 4096, D=128)
+    assert probed, "probe was never consulted"
+    for role, g in geoms.items():
+        assert ss.normalize_strip_geom(g) not in dead, (
+            f"{role} still picked a probe-failing geometry")
+        assert ss.estimate_strip_vmem(g, 128, True) <= ss._VMEM_BUDGET
+
+    # every fitting candidate failing -> loud dedicated error
+    monkeypatch.setattr(ss, "_probe_strip_geom",
+                        lambda *a, **k: False)
+    import pytest as _pytest
+    with _pytest.raises(ss.StripPlanError):
+        ss.autotune_strip_geoms(tuv, 8192, 8192, 4096, D=128)
 
 
 def test_multiwindow_v_strip_plans(rng):
@@ -785,6 +828,78 @@ def test_multiwindow_v_strip_plans(rng):
                                 ** 2).sum(), (0, 1))(U, V)
     assert maxdiff(gm[0], gs[0]) < 1e-4
     assert maxdiff(gm[1], gs[1]) < 1e-4
+
+
+def test_persistent_v_window_strip_plans(rng, monkeypatch):
+    """pv mode (persistent v windows): on a community-structured
+    workload the planner merges consecutive steps into shared v windows
+    (DMA'd once per community, not per step), and the kernel matches
+    the classic per-step-window plan exactly — forward and gradients,
+    single-launch and forced multi-launch splits."""
+    import pygho_tpu.kernels.strip_spspmm as ss
+
+    n_com, tup_per, edg_per, D = 8, 512, 256, 128
+    n_out = n_com * tup_per
+    n_u, n_v = n_out, n_com * edg_per
+    K = 8192
+    # triples stay inside their community: t in its tuple block,
+    # u near t (tuple rows), v anywhere in the community's edge block
+    com = np.sort(rng.integers(0, n_com, K))
+    t = np.sort(com * tup_per + rng.integers(0, tup_per, K))
+    com_t = t // tup_per
+    u = com_t * tup_per + rng.integers(0, tup_per, K)
+    v = com_t * edg_per + rng.integers(0, edg_per, K)
+    acd = np.stack([t, u, v]).astype(np.int64)
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+
+    gpv = (256, 512, 128, 128, 512, 1, 16, 1)   # Rv covers 2 communities
+    gcl = (256, 512, 128, 128, 512, 1, 16, 0)
+    ppv = ss.build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                      {"fwd": gpv, "dx": gpv, "da": gpv})
+    pcl = ss.build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                      {"fwd": gcl, "dx": gcl, "da": gcl})
+    fwd = ppv[0]
+    assert fwd.v_persistent and not pcl[0].v_persistent
+    # window merging actually happened: far fewer loads than steps
+    assert 0 < fwd.n_v_windows < fwd.n_steps / 2, (
+        fwd.n_v_windows, fwd.n_steps)
+
+    # schedule invariants: simulate the 2-slot DMA machine per launch
+    vs = np.asarray(fwd.v_sched)
+    vb = np.asarray(fwd.vbase)[:, 0, 0]
+    splits = fwd.launch_splits or ((0, fwd.n_steps, 0, 0),)
+    for (s0, s1, _b0, _b1) in splits:
+        slots = [None, None]
+        for s in range(s0, s1):
+            for w in (0, 1):
+                if vs[s, 2 + 2 * w] >= 0:
+                    slots[vs[s, 3 + 2 * w]] = int(vs[s, 2 + 2 * w])
+            use = int(vs[s, 0])
+            assert slots[use] == int(vb[s]), (
+                f"step {s}: slot {use} holds {slots[use]}, "
+                f"step needs window {int(vb[s])}")
+
+    opv = ss.fused_spspmm_strip(U, V, *ppv, True)[:n_out]
+    ocl = ss.fused_spspmm_strip(U, V, *pcl, True)[:n_out]
+    assert maxdiff(opv, ocl) < 1e-5
+    g1 = jax.grad(lambda a, b: (ss.fused_spspmm_strip(a, b, *ppv, True)
+                                ** 2).sum(), (0, 1))(U, V)
+    g2 = jax.grad(lambda a, b: (ss.fused_spspmm_strip(a, b, *pcl, True)
+                                ** 2).sum(), (0, 1))(U, V)
+    assert maxdiff(g1[0], g2[0]) < 1e-4
+    assert maxdiff(g1[1], g2[1]) < 1e-4
+
+    # forced multi-launch: every split must reload + rewait its windows
+    monkeypatch.setattr(ss, "_MAX_GRID_STEPS", 24)
+    psp = ss.build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                      {"fwd": gpv, "dx": gpv, "da": gpv})
+    assert len(psp[0].launch_splits) > 1
+    for (s0, _s1, _b0, _b1) in psp[0].launch_splits:
+        assert psp[0].v_sched[s0, 2] >= 0, "split start must load slot 0"
+        assert psp[0].v_sched[s0, 1] == 1, "split start must wait"
+    osp = ss.strip_contract(U, V, psp[0], exact=True)[:n_out]
+    assert maxdiff(osp, ocl) < 1e-5
 
 
 def test_strip_launch_splitting(rng, monkeypatch):
