@@ -323,6 +323,13 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
             x_rows1 = batch[f"tupleid{op1[1:]}"].shape[1]
             e_rows1 = (batch["edge_index"].shape[1] if op2 == "A"
                        else batch[f"tupleid{op2[1:]}"].shape[1])
+            # batch-constant softmax-denominator guard, precomputed on
+            # host: the conv otherwise segment-reduces a ones column
+            # over all acd rows EVERY layer (r3 VERDICT item 6 — part
+            # of the unexplained per-layer wrapper cost)
+            a_real = acd[0][acd[0] < PAD_INDEX]
+            batch[f"{key}{KEYSEP}nonempty"] = (
+                np.bincount(a_real, minlength=x_rows1) > 0)
             try:
                 gname = f"att1{key}"
                 if gname not in geoms_cache:

@@ -260,10 +260,14 @@ class NGATConv(nnx.Module):
             a3 = self.att3(tX.values)
             aA = self.attA(A.values)
             # rows with triples: a flushed-to-zero denominator on one of
-            # these poisons with NaN (loud) instead of silently being 0
-            ones = jnp.ones((acd.shape[1], 1), jnp.float32)
-            nonempty = segment_reduce(ones, acd[0], nseg, "sum",
-                                      indices_are_sorted=True)[:, 0] > 0
+            # these poisons with NaN (loud) instead of silently being 0.
+            # Batch-constant -> loaders precompute it host-side
+            # (add_attention_plans); the in-layer reduce is the fallback
+            nonempty = datadict.get(f"{key}{KEYSEP}nonempty", None)
+            if nonempty is None:
+                ones = jnp.ones((acd.shape[1], 1), jnp.float32)
+                nonempty = segment_reduce(ones, acd[0], nseg, "sum",
+                                          indices_are_sorted=True)[:, 0] > 0
             out = fused_attention_strip(a1, a3, aA, a2, *attplan1,
                                         nonempty, None,
                                         get_fused_math())[:nseg]

@@ -168,7 +168,12 @@ def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
     Rvs = Rv // Gv
     Wu, Wv, Wt, _ = _ROLE_WIDTHS[role]
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, m_ref, *refs):
+    # packed prefetch meta[step] = [ubase (G) | vbase (G*Gv) | oblk]:
+    # one smem buffer per launch instead of three — XLA bills prefetch
+    # buffers at page granularity and 6-layer chained programs with
+    # several launches/layer overflowed the 1 MB smem budget (see the
+    # same fix in strip_spspmm._strip_kernel)
+    def kernel(meta_ref, tuv_ref, m_ref, *refs):
         u_hbm = refs[:Wu]
         v_hbm = refs[Wu:Wu + Wv]
         t_hbm = refs[Wu + Wv:Wu + Wv + Wt]
@@ -183,23 +188,23 @@ def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
         # plan bases are 16-aligned (base_align=16, the planner default)
         def u_copy(step, buf, g, w):
             return pltpu.make_async_copy(
-                u_hbm[w].at[pl.ds(ubase_ref[step, g] // 16, R // 16)],
+                u_hbm[w].at[pl.ds(meta_ref[step, g] // 16, R // 16)],
                 ubuf.at[buf, g, w], sems.at[buf, g, w])
 
         def t_copy(step, buf, g, w):
             return pltpu.make_async_copy(
-                t_hbm[w].at[pl.ds(oblk_ref[step] * (S // 16)
+                t_hbm[w].at[pl.ds(meta_ref[step, G + G * Gv] * (S // 16)
                                   + g * (St // 16), St // 16)],
                 tbuf.at[buf, g, w], sems.at[buf, g, Wu + w])
 
         def v_copy(step, buf, g, w, sub):
             if Gv == 1:
                 return pltpu.make_async_copy(
-                    v_hbm[w].at[pl.ds(vbase_ref[step, g, 0] // 16,
+                    v_hbm[w].at[pl.ds(meta_ref[step, G + g * Gv] // 16,
                                       Rv // 16)],
                     vbuf.at[buf, g, w], sems.at[buf, g, Wu + Wt + w])
             return pltpu.make_async_copy(
-                v_hbm[w].at[pl.ds(vbase_ref[step, g, sub] // 16,
+                v_hbm[w].at[pl.ds(meta_ref[step, G + g * Gv + sub] // 16,
                                   Rvs // 16)],
                 vbuf.at[buf, g, w, sub],
                 sems.at[buf, g, Wu + Wt + w * Gv + sub])
@@ -242,7 +247,8 @@ def _att_kernel(role: str, C: int, R: int, S: int, St: int, Rv: int,
                         m_ref[0:1], C, R, St, Rv, exact)
 
         first = jnp.logical_or(
-            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+            i == 0, meta_ref[i, G + G * Gv]
+            != meta_ref[jnp.maximum(i - 1, 0), G + G * Gv])
 
         @pl.when(first)
         def _():
@@ -337,8 +343,12 @@ def strip_attention_role(role: str, U, V, T, m: jax.Array,
             bytes_accessed=n_steps * G * (R * Wu + Rv * Wv
                                           + 2 * St * Wt) * D * 4,
             transcendentals=n_steps * G * C * D)
+        meta = jnp.concatenate(
+            [ubase.reshape(n_steps, G),
+             vbase.reshape(n_steps, G * Gv),
+             oblk.reshape(n_steps, 1)], axis=1).astype(jnp.int32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=1,
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
@@ -350,7 +360,8 @@ def strip_attention_role(role: str, U, V, T, m: jax.Array,
                   * (Wu + Wv + Wt)),
             ],
             out_specs=pl.BlockSpec(
-                (S, Wout * D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+                (S, Wout * D),
+                lambda i, meta: (meta[i, G + G * Gv], 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, G, Wu, R // 16, 16, D), jnp.float32),
                 pltpu.VMEM((2, G, Wv, Rv // 16, 16, D) if Gv == 1 else
@@ -367,7 +378,7 @@ def strip_attention_role(role: str, U, V, T, m: jax.Array,
                                            jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(ubase, vbase, oblk, tuv_local, m8, *U, *V,
+        )(meta, tuv_local, m8, *U, *V,
           *(group16(t) for t in t_parts))
 
     splits = plan.launch_splits or ((0, plan.n_steps, 0,

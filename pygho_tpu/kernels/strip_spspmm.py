@@ -675,14 +675,18 @@ def _strip_kernel_pv(C: int, R: int, St: int, Rv: int, exact: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, vs_ref, tuv_ref,
+    # packed prefetch meta[step] = [ubase, vbase, oblk, use_slot, wait,
+    # lb0, ls0, lb1, ls1] — one smem buffer per launch (see the
+    # smem-budget note in _strip_kernel)
+    def kernel(meta_ref, tuv_ref,
                u_hbm, v_hbm, o_ref, ubuf, vbuf, usems, vsems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
         def u_copy(step, buf):
-            src = (u_hbm.at[pl.ds(ubase_ref[step, 0], R)] if gu == 1 else
-                   u_hbm.at[pl.ds(ubase_ref[step, 0] // gu, R // gu)])
+            ub = meta_ref[step, 0]
+            src = (u_hbm.at[pl.ds(ub, R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ub // gu, R // gu)])
             return pltpu.make_async_copy(src, ubuf.at[buf],
                                          usems.at[buf])
 
@@ -708,18 +712,19 @@ def _strip_kernel_pv(C: int, R: int, St: int, Rv: int, exact: bool,
         # v loads per the host schedule (up to 2, both at a launch's
         # first step; later steps start at most one lookahead window)
         for w in (0, 1):
-            @pl.when(vs_ref[i, 2 + 2 * w] >= 0)
+            @pl.when(meta_ref[i, 5 + 2 * w] >= 0)
             def _(w=w):
-                v_desc(vs_ref[i, 2 + 2 * w], vs_ref[i, 3 + 2 * w]).start()
+                v_desc(meta_ref[i, 5 + 2 * w],
+                       meta_ref[i, 6 + 2 * w]).start()
 
         u_copy(i, i % nbuf).wait()
-        use = vs_ref[i, 0]
+        use = meta_ref[i, 3]
 
-        @pl.when(vs_ref[i, 1] == 1)
+        @pl.when(meta_ref[i, 4] == 1)
         def _():
             # first use of this window: wait out its DMA (descriptor
             # reconstructed from this step's vbase — the window base)
-            v_desc(vbase_ref[i, 0, 0], use).wait()
+            v_desc(meta_ref[i, 1], use).wait()
 
         # (grouped or flat) -> the (G=1, rows, D) layout _strip_math eats
         uw = ubuf[i % nbuf].reshape(1, R, ubuf.shape[-1])
@@ -727,7 +732,7 @@ def _strip_kernel_pv(C: int, R: int, St: int, Rv: int, exact: bool,
         acc = _strip_math(tuv_ref[0], uw, vw, C, R, St, Rv, exact)
 
         first = jnp.logical_or(
-            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+            i == 0, meta_ref[i, 2] != meta_ref[jnp.maximum(i - 1, 0), 2])
 
         @pl.when(first)
         def _():
@@ -759,28 +764,39 @@ def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
     G = S // St
     Rvs = Rv // Gv
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, tuv_ref, u_hbm, v_hbm,
+    # ALL launch scalars ride ONE packed prefetch array
+    # meta[step] = [ubase (G) | vbase (G*Gv) | oblk (1)]: XLA bills
+    # smem per scalar-prefetch BUFFER at page granularity, so three
+    # separate arrays per launch overflowed the 1 MB smem budget on
+    # multi-key 6-layer chained programs (observed: SSWL fused chained,
+    # "Used 1.06M of 1.00M smem"); one buffer per launch is 3x fewer.
+    def kernel(meta_ref, tuv_ref, u_hbm, v_hbm,
                o_ref, ubuf, vbuf, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
+        def oblk_ref(step):
+            return meta_ref[step, G + G * Gv]
+
         def u_copy(step, buf, g):
-            src = (u_hbm.at[pl.ds(ubase_ref[step, g], R)] if gu == 1 else
-                   u_hbm.at[pl.ds(ubase_ref[step, g] // gu, R // gu)])
+            ub = meta_ref[step, g]
+            src = (u_hbm.at[pl.ds(ub, R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ub // gu, R // gu)])
             return pltpu.make_async_copy(src, ubuf.at[buf, g],
                                          sems.at[buf, g, 0])
 
         def v_copy(step, buf, g, w=0):
+            vb = meta_ref[step, G + g * Gv + w]
             if Gv == 1:
-                src = (v_hbm.at[pl.ds(vbase_ref[step, g, 0], Rv)]
+                src = (v_hbm.at[pl.ds(vb, Rv)]
                        if gv == 1 else
-                       v_hbm.at[pl.ds(vbase_ref[step, g, 0] // gv,
+                       v_hbm.at[pl.ds(vb // gv,
                                       Rv // gv)])
                 return pltpu.make_async_copy(src, vbuf.at[buf, g],
                                              sems.at[buf, g, 1])
-            src = (v_hbm.at[pl.ds(vbase_ref[step, g, w], Rvs)]
+            src = (v_hbm.at[pl.ds(vb, Rvs)]
                    if gv == 1 else
-                   v_hbm.at[pl.ds(vbase_ref[step, g, w] // gv,
+                   v_hbm.at[pl.ds(vb // gv,
                                   Rvs // gv)])
             return pltpu.make_async_copy(src, vbuf.at[buf, g, w],
                                          sems.at[buf, g, 1 + w])
@@ -819,7 +835,7 @@ def _strip_kernel(C: int, R: int, S: int, St: int, Rv: int, exact: bool,
         acc = _strip_math(tuv_ref[0], uw, vw, C, R, St, Rv, exact)
 
         first = jnp.logical_or(
-            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+            i == 0, oblk_ref(i) != oblk_ref(jnp.maximum(i - 1, 0)))
 
         @pl.when(first)
         def _():
@@ -888,8 +904,15 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             bytes_accessed=n_steps * G * (R + Rv + St) * D * 4,
             transcendentals=0)
         if pv:
+            # one packed scalar-prefetch buffer (smem page budget —
+            # see _strip_kernel): [ubase, vbase, oblk, sched(6)]
+            meta = jnp.concatenate(
+                [ubase.reshape(n_steps, 1),
+                 vbase.reshape(n_steps, 1),
+                 oblk.reshape(n_steps, 1),
+                 v_sched], axis=1).astype(jnp.int32)
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
+                num_scalar_prefetch=1,
                 grid=(n_steps,),
                 in_specs=[
                     pl.BlockSpec((1, G, 3, C), lambda i, *refs:
@@ -898,7 +921,7 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(
-                    (S, D), lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+                    (S, D), lambda i, meta: (meta[i, 2], 0)),
                 scratch_shapes=[
                     pltpu.VMEM((nb, R, D) if gu == 1 else
                                (nb, R // gu, gu, D), U.dtype),
@@ -917,17 +940,21 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
                                                jnp.float32),
                 cost_estimate=cost,
                 interpret=interpret,
-            )(ubase, vbase, oblk, v_sched, tuv_local, U, V)
+            )(meta, tuv_local, U, V)
+        meta = jnp.concatenate(
+            [ubase.reshape(n_steps, G),
+             vbase.reshape(n_steps, G * Gv),
+             oblk.reshape(n_steps, 1)], axis=1).astype(jnp.int32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=1,
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec((1, G, 3, C), lambda i, *refs: (i, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((S, D),
-                                   lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+            out_specs=pl.BlockSpec(
+                (S, D), lambda i, meta: (meta[i, G + G * Gv], 0)),
             scratch_shapes=[
                 pltpu.VMEM((nb, G, R, D) if gu == 1 else
                            (nb, G, R // gu, gu, D), U.dtype),
@@ -946,7 +973,7 @@ def strip_contract(U: jax.Array, V: jax.Array, plan: StripPlan,
             out_shape=jax.ShapeDtypeStruct((out_rows, D), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(ubase, vbase, oblk, tuv_local, U, V)
+        )(meta, tuv_local, U, V)
 
     splits = plan.launch_splits or ((0, plan.n_steps, 0,
                                      plan.out_rows // S),)
