@@ -39,6 +39,13 @@ parser.add_argument("--num_layer", type=int, default=4)
 parser.add_argument("--bs", type=int, default=32)
 parser.add_argument("--hop", type=int, default=3)
 parser.add_argument("--lr", type=float, default=2e-3)
+parser.add_argument("--cosT", type=int, default=0,
+                    help="cosine-warm-restarts period in epochs (0 = "
+                         "constant lr); the ZINC harness's scheduler")
+parser.add_argument("--minlr", type=float, default=0.0)
+parser.add_argument("--wd", type=float, default=0.0)
+parser.add_argument("--K", type=float, default=0.0)
+parser.add_argument("--K2", type=float, default=0.0)
 parser.add_argument("--norm", choices=["bn", "ln", "none"], default="bn")
 parser.add_argument("--recalibrate_bn", action="store_true",
                     help="re-estimate batchnorm running stats over the "
@@ -139,7 +146,14 @@ else:
     else:
         train_step, eval_step = make_sparse_steps()
 
-opt = make_optimizer(model, args.lr)
+if args.cosT > 0:
+    from pygho_tpu.models.training import cosine_warm_restarts
+
+    sched = cosine_warm_restarts(args.lr, args.cosT, len(trn),
+                                 args.minlr, args.K, args.K2)
+    opt = make_optimizer(model, sched, args.wd)
+else:
+    opt = make_optimizer(model, args.lr, args.wd)
 metrics = MetricsLogger(
     f"runs/expr_{args.dataset}_{args.conv}"
     f"{'_dense' if args.dense else ''}.jsonl")

@@ -361,19 +361,39 @@ def build_strip_plan(
 
     n_sub = len(starts)
     if v_persistent and n_sub:
-        # greedy window merging: a sub-chunk keeps the current window
-        # when its whole v range fits; community-contiguous workloads
-        # then reuse one window for every step of the community.
+        # greedy window merging with UNION-span growth: a sub-chunk
+        # joins the current window when the union of its v range with
+        # the window's still fits Rv — the window's base can move DOWN
+        # (strips revisit a community's low edge rows, so first-chunk
+        # anchoring fragments ~4x).  Community-contiguous workloads
+        # then reuse one window per ~Rv of community edge rows.
         # (chunker output is a contiguous cover, so reduceat segments
         # are exactly [starts[i], ends[i]))
+        vmins = np.minimum.reduceat(v, starts)
         vmaxs = np.maximum.reduceat(v, starts)
-        wb = np.zeros(n_sub, np.int64)      # assigned window base
+
+        def aldn(x):
+            return min((x // av) * av, v_rows - Rv)
+
         wid = np.zeros(n_sub, np.int64)     # window ordinal (monotone)
-        W, k = None, -1
+        lo = hi = None
+        k = -1
+        spans: list = []                    # per-window final lo
         for ci in range(n_sub):             # host loop: n_sub ~ 1e3-1e4
-            if W is None or vbs[ci] < W or vmaxs[ci] >= W + Rv:
-                W, k = int(vbs[ci]), k + 1
-            wb[ci], wid[ci] = W, k
+            nlo = int(vmins[ci]) if lo is None else min(lo,
+                                                        int(vmins[ci]))
+            nhi = int(vmaxs[ci]) if hi is None else max(hi,
+                                                        int(vmaxs[ci]))
+            if lo is None or nhi - aldn(nlo) >= Rv:
+                lo, hi = int(vmins[ci]), int(vmaxs[ci])
+                k += 1
+                spans.append(lo)
+            else:
+                lo, hi = nlo, nhi
+                spans[k] = lo
+            wid[ci] = k
+        wbases_merged = np.array([aldn(s) for s in spans], np.int64)
+        wb = wbases_merged[wid]
         vbs = wb
     n_blocks = out_rows // S
     blk_of = strips // G
@@ -1230,11 +1250,14 @@ _STRIP_GEOMS = (
     # the fragmented-graph window-byte amplification (the measured
     # round-3 bottleneck).  Wide Rv bills its one-hot K honestly in
     # the cost model, so these only win when window reuse is high.
+    # S = St (G = 1): prefer S = 256 — S = 128 puts a once-per-block
+    # step floor of out_rows/128 under fragmented workloads.
+    (512, 512, 256, 256, 2048, 1, 16, 1),
     (512, 512, 128, 128, 2048, 1, 16, 1),
-    (512, 512, 128, 128, 1536, 1, 16, 1),
-    (384, 512, 128, 128, 2048, 1, 16, 1),
+    (512, 512, 256, 256, 1536, 1, 16, 1),
+    (384, 512, 256, 256, 2048, 1, 16, 1),
     (256, 512, 128, 128, 2048, 1, 16, 1),
-    (512, 256, 128, 128, 1024, 1, 16, 1),
+    (512, 256, 256, 256, 1024, 1, 16, 1),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which
