@@ -358,6 +358,28 @@ def main():
     dd_step_bf_dt = (time.perf_counter() - t0 - base_rtt2) / 10
     log(f"dense DD train step (PPGN x2, bf16): {dd_step_bf_dt * 1e3:.1f} ms")
 
+    # chained dense step (the production zinc_tpu --chained dense path):
+    # one dispatch per N steps — the honest device-side step time (the
+    # 10-dispatch loop above carries per-dispatch tunnel latency, the
+    # same artifact the sparse path showed: 16.0 dispatched vs 5.9
+    # chained).  Full component breakdown: scripts/bench_dense_ablate.py
+    from pygho_tpu.models.training import make_chained_train
+
+    dd_chain, _, _ = make_chained_train(mode="dense")
+    ma_model2 = make_ma_model("PPGN", num_layer=2, hiddim=D,
+                              mlp={"norm": "bn", "act": "silu"})
+    ma_opt2 = make_optimizer(ma_model2, 1e-3)
+    N_DD = 30
+    float(dd_chain(ma_model2, ma_opt2, mbatch, N_DD))   # compile
+    ts_ddc = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(dd_chain(ma_model2, ma_opt2, mbatch, N_DD))
+        ts_ddc.append((time.perf_counter() - t0 - base_rtt2) / N_DD)
+    dd_step_chained_dt = float(np.median(ts_ddc))
+    log(f"dense DD train step chained (PPGN x2): "
+        f"{dd_step_chained_dt * 1e3:.1f} ms")
+
     # ---- full train step (python-dispatched; state chains the steps) ----
     opt = make_optimizer(model, 1e-3)
     train_step, _ = make_sparse_steps()
@@ -446,6 +468,29 @@ def main():
             converged = {"converged_recorded": json.load(f)}
     except Exception:
         pass
+    # full converged benchmark matrix (r4): one artifact per conv/mode,
+    # reference-tuned HPs (scripts/converged_matrix.sh) — summarized as
+    # conv_mode -> (best val MAE, test MAE at best val, s/epoch)
+    try:
+        import glob as _glob
+
+        mat = {}
+        pat = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "runs", "converged", "*.json")
+        for p in sorted(_glob.glob(pat)):
+            with open(p) as f:
+                r = json.load(f)
+            name = os.path.basename(p)[:-5]
+            mat[name] = {
+                "val": r.get("best_val_mae"),
+                "tst": r.get("tst_mae_at_best_val"),
+                "s_per_epoch": r.get("sec_per_epoch_median"),
+                "seed": r.get("seed"),
+            }
+        if mat:
+            converged["converged_matrix"] = mat
+    except Exception:
+        pass
 
     # headline: the EXACT-f32 kernel (the apples-to-apples match for
     # the reference's f32 elementwise hot loop, Spspmm.py:307-321);
@@ -475,6 +520,7 @@ def main():
             "dense_dd_equiv_rows_per_s": dd_rows_per_s,
             "dense_dd_train_step_ms": dd_step_dt * 1e3,
             "dense_dd_train_step_bf16_ms": dd_step_bf_dt * 1e3,
+            "dense_dd_train_step_chained_ms": dd_step_chained_dt * 1e3,
             "train_step_ms": step_dt * 1e3,
             "train_step_fused_bf16_ms": fstep_dt * 1e3,
             "train_step_chained_ms": cstep["xla"] * 1e3,

@@ -420,23 +420,37 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(ubase_ref, vbase_ref, oblk_ref, uslot_ref, vslot_ref,
-               udma_ref, vdma_ref, tuv_ref, u_hbm, v_hbm,
+    # packed prefetch meta[chunk] = [ubase, vbase, oblk, uslot, vslot,
+    # udma, vdma]: one smem buffer per launch instead of seven (smem is
+    # paged per prefetch buffer; multi-launch chained programs
+    # overflowed the 1 MB budget — see strip_spspmm._strip_kernel)
+    def kernel(meta_ref, tuv_ref, u_hbm, v_hbm,
                o_ref, ubuf, vbuf, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
+        def oblk_ref(c):
+            return meta_ref[c, 2]
+
+        def udma_ref(c):
+            return meta_ref[c, 5]
+
+        def vdma_ref(c):
+            return meta_ref[c, 6]
+
         def u_copy(chunk):
-            src = (u_hbm.at[pl.ds(ubase_ref[chunk], R)] if gu == 1 else
-                   u_hbm.at[pl.ds(ubase_ref[chunk] // gu, R // gu)])
+            ub, us = meta_ref[chunk, 0], meta_ref[chunk, 3]
+            src = (u_hbm.at[pl.ds(ub, R)] if gu == 1 else
+                   u_hbm.at[pl.ds(ub // gu, R // gu)])
             return pltpu.make_async_copy(
-                src, ubuf.at[uslot_ref[chunk]], sems.at[uslot_ref[chunk], 0])
+                src, ubuf.at[us], sems.at[us, 0])
 
         def v_copy(chunk):
-            src = (v_hbm.at[pl.ds(vbase_ref[chunk], Rv)] if gv == 1 else
-                   v_hbm.at[pl.ds(vbase_ref[chunk] // gv, Rv // gv)])
+            vb, vs = meta_ref[chunk, 1], meta_ref[chunk, 4]
+            src = (v_hbm.at[pl.ds(vb, Rv)] if gv == 1 else
+                   v_hbm.at[pl.ds(vb // gv, Rv // gv)])
             return pltpu.make_async_copy(
-                src, vbuf.at[vslot_ref[chunk]], sems.at[vslot_ref[chunk], 1])
+                src, vbuf.at[vs], sems.at[vs, 1])
 
         # warm-up: issue the first chunk's DMAs plus the prefetch horizon
         # (chunks 1..depth-1); steady state keeps `depth` chunks in
@@ -451,35 +465,35 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
             for k in range(1, depth):
                 kc = jnp.minimum(k, n - 1)
 
-                @pl.when(jnp.logical_and(k < n, udma_ref[kc] == 1))
+                @pl.when(jnp.logical_and(k < n, udma_ref(kc) == 1))
                 def _():
                     u_copy(kc).start()
 
-                @pl.when(jnp.logical_and(k < n, vdma_ref[kc] == 1))
+                @pl.when(jnp.logical_and(k < n, vdma_ref(kc) == 1))
                 def _():
                     v_copy(kc).start()
 
         # prefetch chunk i+depth's windows only when they change
         nxt = jnp.minimum(i + depth, n - 1)
 
-        @pl.when(jnp.logical_and(i + depth < n, udma_ref[nxt] == 1))
+        @pl.when(jnp.logical_and(i + depth < n, udma_ref(nxt) == 1))
         def _():
             u_copy(nxt).start()
 
-        @pl.when(jnp.logical_and(i + depth < n, vdma_ref[nxt] == 1))
+        @pl.when(jnp.logical_and(i + depth < n, vdma_ref(nxt) == 1))
         def _():
             v_copy(nxt).start()
 
         # wait exactly for DMAs that were issued for THIS chunk
-        @pl.when(udma_ref[i] == 1)
+        @pl.when(udma_ref(i) == 1)
         def _():
             u_copy(i).wait()
 
-        @pl.when(vdma_ref[i] == 1)
+        @pl.when(vdma_ref(i) == 1)
         def _():
             v_copy(i).wait()
-        uw = ubuf[uslot_ref[i]]
-        vw = vbuf[vslot_ref[i]]
+        uw = ubuf[meta_ref[i, 3]]
+        vw = vbuf[meta_ref[i, 4]]
         if gu > 1:
             uw = uw.reshape(R, uw.shape[-1])
         if gv > 1:
@@ -488,7 +502,7 @@ def _fused_kernel(C: int, R: int, S: int, exact: bool, Rv: int,
                           tuv_ref[0, 2, :], uw, vw, C, R, S, Rv, exact)
 
         first = jnp.logical_or(
-            i == 0, oblk_ref[i] != oblk_ref[jnp.maximum(i - 1, 0)])
+            i == 0, oblk_ref(i) != oblk_ref(jnp.maximum(i - 1, 0)))
 
         @pl.when(first)
         def _():
@@ -705,8 +719,11 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
           plan.udma, plan.vdma, plan.oslot, plan.owait, plan.owait_blk,
           plan.otail, plan.tuv_local, U, V)
         return out
+    meta = jnp.stack(
+        [plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
+         plan.udma, plan.vdma], axis=1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 3, C),
@@ -715,7 +732,7 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((S, D),
-                               lambda i, ub, vb, ob, *refs: (ob[i], 0)),
+                               lambda i, meta: (meta[i, 2], 0)),
         scratch_shapes=[
             pltpu.VMEM((n_slots, R, D) if gu == 1 else
                        (n_slots, R // gu, gu, D), U.dtype),
@@ -730,8 +747,7 @@ def fused_contract(U: jax.Array, V: jax.Array, plan: ChunkPlan,
         out_shape=jax.ShapeDtypeStruct((plan.out_rows, D), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
-    )(plan.ubase, plan.vbase, plan.oblk, plan.uslot, plan.vslot,
-      plan.udma, plan.vdma, plan.tuv_local, U, V)
+    )(meta, plan.tuv_local, U, V)
     return out
 
 
