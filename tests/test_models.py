@@ -96,6 +96,32 @@ def test_ngat_trains():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_ngat_nonempty_hoist_parity():
+    """The loader-precomputed nonempty mask (attention plans path) gives
+    bit-identical forward outputs to the conv's in-layer segment-reduce
+    fallback — the r4 per-layer hoist changes cost, not semantics."""
+    model = make_sp_model("NGAT", num_layer=2, hiddim=128,
+                          mlp=dict(MLPD))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=8)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    dl = SpDataloader([pre(g) for g in graphs], 8, keys,
+                      build_plans=True, plan_dim=128,
+                      attention_plans=True, device_put=False, prefetch=0)
+    batch = next(iter(dl))
+    key = keys[0]
+    assert f"{key}___nonempty" in batch, sorted(batch)[:8]
+    from pygho_tpu.hodata.sp_data import batch_to_sparse_dict
+
+    model.eval()
+    out_hoisted = model(batch_to_sparse_dict(batch, ("",)))
+    stripped = {k: v for k, v in batch.items()
+                if not k.endswith("___nonempty")}
+    out_fallback = model(batch_to_sparse_dict(stripped, ("",)))
+    assert np.array_equal(np.asarray(out_hoisted),
+                          np.asarray(out_fallback))
+
+
 def test_bf16_model_trains():
     import jax.numpy as jnp
 
