@@ -130,3 +130,40 @@ def test_export_with_fused_plans():
     want = np.asarray(fwd(model, batch))
     got = ExportedForward(blob)(batch)
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_export_with_pv_strip_plans():
+    """StripPlan pytrees with a persistent-v schedule (the r4 v_sched
+    data field) serialize through jax.export and reproduce the direct
+    forward — guards the registered StripPlan codec against the new
+    field."""
+    import jax.numpy as jnp
+
+    from pygho_tpu.backend.indexing import PAD_INDEX
+    from pygho_tpu.kernels.strip_spspmm import (build_spspmm_strip_plans,
+                                                fused_spspmm_strip)
+    from jax import export as jexport
+
+    rng = np.random.default_rng(3)
+    K, n_out, n_u, n_v, D = 2048, 1024, 1024, 512, 128
+    a = np.sort(rng.integers(0, n_out, K))
+    c = rng.integers(0, n_u, K)
+    d = (a // 256) * 128 + rng.integers(0, 128, K)   # windowable v
+    acd = np.stack([a, c, d]).astype(np.int64)
+    gpv = (256, 512, 128, 128, 512, 1, 16, 1)
+    plans = build_spspmm_strip_plans(acd, n_u, n_v, n_out,
+                                     {"fwd": gpv, "dx": gpv, "da": gpv})
+    assert plans[0].v_persistent
+
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+
+    import jax
+
+    fn = jax.jit(lambda u, v, p: fused_spspmm_strip(u, v, *p, True))
+    exported = jexport.export(fn)(U, V, plans)
+    blob = exported.serialize()
+    relo = jexport.deserialize(blob)
+    want = np.asarray(fn(U, V, plans))
+    got = np.asarray(relo.call(U, V, plans))
+    assert np.abs(got - want).max() < 1e-5
