@@ -229,6 +229,74 @@ def _strip_plan_invariants(plan, t, u, v):
             assert ob[s0] != ob[s0 - 1], "split must cut at block boundary"
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_pv_strip_planner(seed, monkeypatch):
+    """Persistent-v plans under fuzz: the _strip_plan_invariants
+    multiset/window checks hold with merged window bases, the v_sched
+    2-slot DMA machine is consistent per launch (every step's use slot
+    holds its window, loads precede waits), and interpret execution
+    matches the scatter oracle — incl. forced multi-launch splits."""
+    from pygho_tpu.kernels import strip_spspmm as ss
+
+    rng = np.random.default_rng(9300 + seed)
+    if seed % 2 == 0:
+        monkeypatch.setattr(ss, "_MAX_GRID_STEPS", 16)
+
+    n_out = int(rng.choice([512, 2048]))
+    n_u = int(rng.choice([512, 2048]))
+    n_v = int(rng.choice([256, 1024]))
+    K = int(rng.integers(300, 3000))
+    t = np.sort(rng.integers(0, n_out, K))
+    if seed % 2:
+        # community-ish: v clusters follow t
+        v = np.clip(t * n_v // n_out + rng.integers(-40, 40, K), 0,
+                    n_v - 1)
+    else:
+        v = rng.integers(0, n_v, K)
+    u = np.clip(t * n_u // n_out + rng.integers(-50, 50, K), 0, n_u - 1)
+
+    C = int(rng.choice([64, 128]))
+    St = S = int(rng.choice([64, 128]))          # pv: G == 1
+    R = int(rng.choice([128, 256]))
+    Rv = int(rng.choice([128, 256]))
+    align = int(rng.choice([1, 16]))
+    rup = lambda n, m: ((n + m - 1) // m) * m
+    u_rows, v_rows, o_rows = rup(n_u, R), rup(n_v, Rv), rup(n_out, S)
+    try:
+        plan = ss.build_strip_plan(np.stack([t, u, v]), u_rows, v_rows,
+                                   o_rows, C=C, R=R, S=S, St=St, Rv=Rv,
+                                   base_align=align, v_persistent=True)
+    except ss.StripPlanError:
+        # legitimate refusal (one block over the forced grid ceiling);
+        # the autotuner skips such candidates
+        return
+    assert plan.v_persistent
+    _strip_plan_invariants(plan, t, u, v)
+
+    # schedule simulation: per launch, walk the 2-slot DMA machine
+    vs = np.asarray(plan.v_sched)
+    vb = np.asarray(plan.vbase)[:, 0, 0]
+    splits = plan.launch_splits or ((0, plan.n_steps, 0, 0),)
+    for (s0, s1, _b0, _b1) in splits:
+        slots = [None, None]
+        for s in range(s0, s1):
+            for w in (0, 1):
+                if vs[s, 2 + 2 * w] >= 0:
+                    slots[vs[s, 3 + 2 * w]] = int(vs[s, 2 + 2 * w])
+            assert slots[int(vs[s, 0])] == int(vb[s]), (
+                f"step {s}: slot holds {slots[int(vs[s, 0])]}, "
+                f"needs {int(vb[s])}")
+
+    D = 128
+    U = rng.normal(size=(u_rows, D)).astype(np.float32)
+    V = rng.normal(size=(v_rows, D)).astype(np.float32)
+    oracle = np.zeros((o_rows, D), np.float32)
+    np.add.at(oracle, t, U[u] * V[v])
+    got = np.asarray(ss.strip_contract(jnp.asarray(U), jnp.asarray(V),
+                                       plan, interpret=True, exact=True))
+    assert maxdiff(got, oracle) < 1e-4 * max(1.0, np.abs(oracle).max())
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_strip_planner_invariants(seed, monkeypatch):
     """Randomized strip-plan invariants (VERDICT r2 #8): skewed t/u/v
