@@ -98,6 +98,9 @@ def main():
         "pv_2048_s128": (512, 512, 128, 128, 2048, 1, 16, 1),
         "pv_1536_s256": (512, 512, 256, 256, 1536, 1, 16, 1),
         "pv_1024_s256_r256": (512, 256, 256, 256, 1024, 1, 16, 1),
+        "pv_2048_s512": (512, 512, 512, 512, 2048, 1, 16, 1),
+        "pv_2048_s512_c384": (384, 512, 512, 512, 2048, 1, 16, 1),
+        "pv_2048_s1024": (512, 512, 1024, 1024, 2048, 1, 16, 1),
     }
     plans, est = {}, {}
     for name, geom in cands.items():
