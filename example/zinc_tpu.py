@@ -348,10 +348,13 @@ def run_once(rep: int) -> float:
                "sec_per_epoch_median": float(np.median(epoch_times[1:]))
                if len(epoch_times) > 1 else None}
         # --repeat > 1: one seed-labeled artifact per repetition
+        # (splitext over the basename: a dotted DIRECTORY name must not
+        # swallow the suffix)
         path = args.converged_record
         if args.repeat > 1:
-            stem, dot, ext = path.rpartition(".")
-            path = f"{stem}.s{rep}{dot}{ext}" if dot else f"{path}.s{rep}"
+            import os.path as _osp
+            stem, ext = _osp.splitext(path)
+            path = f"{stem}.s{rep}{ext}"
         with open(path, "w") as f:
             _json.dump(rec, f, indent=1)
         print(f"converged record -> {path}", flush=True)

@@ -307,7 +307,8 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
     from ..backend.indexing import PAD_INDEX, bucket_size
     from ..honn.sp_operator import KEYSEP
     from ..hodata.sp_data import parsekey
-    from ..kernels.strip_spspmm import (autotune_strip_geoms,
+    from ..kernels.strip_spspmm import (StripPlanError,
+                                        autotune_strip_geoms,
                                         build_spspmm_strip_plans)
     from ..kernels.strip_attention import (autotune_attention_geoms,
                                            build_attention_strip_plans)
@@ -348,9 +349,11 @@ def add_attention_plans(batch, keys, buckets, geoms_cache,
                         acd, x_rows1, e_rows1, geoms_cache[gname],
                         pad_steps_to=pads)
                 continue
-            except AssertionError as ex:
-                # geometry not coverable: two-launch fallback (counted
-                # so runs can attribute the extra launches/recompiles)
+            except (AssertionError, StripPlanError) as ex:
+                # geometry not coverable (e.g. one output block beyond
+                # the Mosaic grid ceiling — StripPlanError since r4, it
+                # survives python -O): two-launch fallback (counted so
+                # runs can attribute the extra launches/recompiles)
                 import warnings
 
                 ATT_PLAN_FALLBACKS["count"] += 1

@@ -526,6 +526,13 @@ def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
         C, R, S, St, Rv = g[:5]
         gv = g[5] if len(g) > 5 else 1
         align = g[6] if len(g) > 6 else 16
+        pv = g[7] if len(g) > 7 else 0
+        # the attention kernel has no persistent-v data path: a pv plan
+        # would be COSTED with the once-per-window DMA discount but
+        # EXECUTED with a full per-step window DMA — exclude pv
+        # geometries outright
+        if pv:
+            return False
         # the attention kernel DMAs ALL operands as (rows/16, 16, W)
         # grouped views (wide f32 sources fail Mosaic's dynamic-base
         # tile proof), so plan bases must stay 16-aligned
@@ -536,8 +543,14 @@ def autotune_attention_geoms(acd, x_rows: int, e_rows: int,
     pool = [g for g in _STRIP_GEOMS if fits(g)]
     if not pool:
         pool = [(256, 256, 512, 128, 128, 1)]
+    # probe=False: _probe_strip_geom AOT-compiles strip_contract, whose
+    # Mosaic footprint differs from strip_attention_role (3 operand
+    # planes, wider scratch/output) — a passing probe would be false
+    # confidence and each probe a wasted remote compile.  The per-role
+    # estimate_att_vmem gate above remains the crash filter here.
     return autotune_strip_geoms(acd, x_rows, e_rows, x_rows, D=D,
-                                exact=exact, candidates=pool)
+                                exact=exact, candidates=pool,
+                                probe=False)
 
 
 def build_attention_strip_plans(

@@ -463,8 +463,10 @@ def build_strip_plan(
             np.maximum.accumulate(ffidx, out=ffidx)
             win_step = np.where(ffidx >= 0,
                                 win_step[np.maximum(ffidx, 0)], wid[0])
-            wbases = np.zeros(int(wid.max()) + 1, np.int64)
-            wbases[wid] = vbs
+            # one source of truth: the merge loop's per-window bases
+            # (vbs was derived from it; re-deriving here could desync
+            # the kernel's wait descriptors from the load schedule)
+            wbases = wbases_merged
         else:
             win_step[:] = 0
             wbases = np.zeros(1, np.int64)

@@ -79,19 +79,6 @@ def main():
         0, N, lambda i, acc: acc + strip_contract(
             u, v, p, exact=True)[0, :1], jnp.zeros((1,), jnp.float32)))
 
-    def timeit(plan):
-        Up = (U if U.shape[0] >= plan.u_rows else
-              jnp.pad(U, ((0, plan.u_rows - U.shape[0]), (0, 0))))
-        Vp = (V if V.shape[0] >= plan.v_rows else
-              jnp.pad(V, ((0, plan.v_rows - V.shape[0]), (0, 0))))
-        float(jnp.sum(run(Up, Vp, plan)))          # compile
-        ts = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(jnp.sum(run(Up, Vp, plan)))
-            ts.append((time.perf_counter() - t0) / N)
-        return ts
-
     cands = {
         "r3_winner_gv16": (256, 512, 256, 128, 512, 16),
         "pv_2048_s256": (512, 512, 256, 256, 2048, 1, 16, 1),
@@ -119,29 +106,33 @@ def main():
         print(json.dumps({"acd_rows": rows, "estimates_ms": est}))
         return
 
-    # interleaved timing: round-robin reps
+    # compile each candidate once (and drop candidates whose Mosaic
+    # compile fails), then measure fully INTERLEAVED: one rep per
+    # candidate per round, REPS rounds — tunnel variance (±30%) hits
+    # every candidate equally (CLAUDE.md measurement discipline)
     samples = {k: [] for k in plans}
-    for r in range(REPS):
-        for name, p in plans.items():
-            try:
-                ts = timeit(p) if r == 0 else None
-                if r == 0:
-                    samples[name].extend(ts)
-            except Exception as ex:
-                log(f"{name}: run failed {type(ex).__name__}: "
-                    f"{str(ex)[:200]}")
-                plans[name] = None
-        break   # timeit already does REPS internally, interleave inside
 
-    # true interleave: re-measure one rep per candidate, several rounds
-    for rnd in range(3):
+    def padded(p):
+        Up = (U if U.shape[0] >= p.u_rows else
+              jnp.pad(U, ((0, p.u_rows - U.shape[0]), (0, 0))))
+        Vp = (V if V.shape[0] >= p.v_rows else
+              jnp.pad(V, ((0, p.v_rows - V.shape[0]), (0, 0))))
+        return Up, Vp
+
+    for name in list(plans):
+        try:
+            Up, Vp = padded(plans[name])
+            float(jnp.sum(run(Up, Vp, plans[name])))       # compile
+        except Exception as ex:
+            log(f"{name}: compile/run failed {type(ex).__name__}: "
+                f"{str(ex)[:200]}")
+            plans[name] = None
+
+    for rnd in range(REPS):
         for name, p in plans.items():
             if p is None:
                 continue
-            Up = (U if U.shape[0] >= p.u_rows else
-                  jnp.pad(U, ((0, p.u_rows - U.shape[0]), (0, 0))))
-            Vp = (V if V.shape[0] >= p.v_rows else
-                  jnp.pad(V, ((0, p.v_rows - V.shape[0]), (0, 0))))
+            Up, Vp = padded(p)
             t0 = time.perf_counter()
             float(jnp.sum(run(Up, Vp, p)))
             samples[name].append((time.perf_counter() - t0) / N)
