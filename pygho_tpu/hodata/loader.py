@@ -217,15 +217,34 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
             if (plans[0].n_chunks > 128
                     and plans[0].n_chunks * 8 > max(k_real, 1)):
                 continue
-            pads = {}
+            # COMMON per-block step tables (the v7 stacking mechanism,
+            # strip_spspmm.build_strip_plan ``steps_per_block``): every
+            # batch of a padding bucket shares oblk — hence
+            # launch_splits (pytree META) — so chained stacking works
+            # even when plans need Mosaic's multi-launch split (plans
+            # padded only to a common TOTAL step count stacked fine
+            # single-launch but diverged on split boundaries: observed
+            # on PPGN-sparse X___X plans, 896 steps -> 2 launches).
+            # Tables grow elementwise-max across batches like any other
+            # bucket; warm one epoch before stacking (zinc_tpu does).
+            spb = {}
             for role, p in zip(("fwd", "dx", "da"), plans):
-                pad = max(bucket_size(p.n_steps, 8),
-                          buckets.get(f"plan{key}{role}", 0))
-                buckets[f"plan{key}{role}"] = pad
-                pads[role] = pad
+                nb = p.out_rows // p.S
+                tname = f"planspb{key}{role}n{nb}"
+                nat = np.bincount(np.asarray(p.oblk), minlength=nb)
+                # round the per-block counts up a little so near-miss
+                # batches don't each grow the table by one
+                nat = np.maximum(nat, 1)
+                prev = geoms_cache.get(tname)
+                tbl = (nat if prev is None
+                       else np.maximum(prev, nat))
+                geoms_cache[tname] = tbl
+                # growth telemetry rides the int bucket store
+                buckets[f"planspb{key}{role}"] = int(tbl.sum())
+                spb[role] = tbl
             batch[f"{key}{KEYSEP}plan"] = build_spspmm_strip_plans(
                 acd, rows_of(op1), rows_of(op2), rows_of(op0), geoms,
-                pad_steps_to=pads)
+                steps_per_block_to=spb)
         return
 
     for key in keys:

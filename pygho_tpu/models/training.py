@@ -172,13 +172,20 @@ def stack_batches(batches) -> Dict[str, Any]:
 
 
 def group_stack_batches(batches) -> list:
-    """Group collated batches by (leaf-)shape signature and stack each
-    group: returns a list of stacked dicts, one per padding bucket, each
-    consumable by `make_chained_sparse_train`'s scan path (one compiled
-    program + one dispatch per bucket instead of per batch)."""
+    """Group collated batches by (leaf-shape, treedef) signature and
+    stack each group: returns a list of stacked dicts, one per padding
+    bucket, each consumable by `make_chained_sparse_train`'s scan path
+    (one compiled program + one dispatch per bucket instead of per
+    batch).  The treedef is part of the key because plan pytrees carry
+    static META (e.g. StripPlan.launch_splits) that must match to
+    stack leaf-wise — a batch whose plan meta diverged (per-block step
+    table grew mid-pass) lands in its own group instead of crashing
+    the leaf-wise jnp.stack."""
     groups: Dict[tuple, list] = {}
     for b in batches:
-        sig = tuple(sorted((k, _leaf_shapes(v)) for k, v in b.items()))
+        sig = tuple(sorted(
+            (k, _leaf_shapes(v), str(jax.tree.structure(v)))
+            for k, v in b.items()))
         groups.setdefault(sig, []).append(b)
     return [stack_batches(g) for g in groups.values()]
 

@@ -96,6 +96,45 @@ def test_ngat_trains():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_multilaunch_strip_plans_stack_across_batches(monkeypatch):
+    """Regression (r4, PPGN-sparse converged run): multi-launch
+    StripPlans from different batches of one padding bucket must share
+    launch_splits (the loader's common per-block step tables) so
+    group_stack_batches can stack them leaf-wise; a batch whose meta
+    still diverges lands in its own group instead of crashing."""
+    import pygho_tpu.kernels.strip_spspmm as ss
+    from pygho_tpu.models.training import group_stack_batches
+
+    monkeypatch.setattr(ss, "_MAX_GRID_STEPS", 6)    # force splits
+    model = make_sp_model("PPGN", num_layer=2, hiddim=128,
+                          mlp=dict(MLPD))
+    keys = parse_precomputekey(model)
+    graphs = synthetic_zinc("train", n_graphs=32)
+    pre = Sppretransform(KhopSampler, [""], keys)
+    datas = [pre(g) for g in graphs]
+    dl = SpDataloader(datas, 8, keys, shuffle=True, drop_last=True,
+                      build_plans=True, plan_dim=128,
+                      device_put=False, prefetch=0, seed=3)
+    list(dl)                       # warm buckets + step tables
+    batches = list(dl)
+    plan_key = next(k for k in batches[0] if k.endswith("___plan"))
+    assert len(batches[0][plan_key][0].launch_splits) > 1, \
+        "test needs multi-launch plans"
+    groups = group_stack_batches(batches)
+    # after warming, all same-bucket batches share plan meta: the
+    # number of groups equals the number of distinct shape buckets
+    stacked_steps = sum(jax.tree.leaves(g)[0].shape[0] for g in groups)
+    assert stacked_steps == len(batches)
+    # and the stacked scan trains
+    from pygho_tpu.models.training import (make_chained_train,
+                                           make_optimizer)
+
+    opt = make_optimizer(model, 1e-3)
+    _, scan_fn, _ = make_chained_train(mode="sparse")
+    losses = np.asarray(scan_fn(model, opt, groups[0]))
+    assert np.isfinite(losses).all()
+
+
 def test_ngat_nonempty_hoist_parity():
     """The loader-precomputed nonempty mask (attention plans path) gives
     bit-identical forward outputs to the conv's in-layer segment-reduce
