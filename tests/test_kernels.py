@@ -1029,11 +1029,15 @@ def test_strip_attention_underflow_is_loud_not_silent(rng):
         assert maxdiff(want[ok], got[ok]) < 2e-4
 
 
-def test_attention_planner_fallback_is_counted(rng):
+@pytest.mark.parametrize("exc", ["assert", "planerr"])
+def test_attention_planner_fallback_is_counted(rng, exc):
     """When the single-launch attention planner cannot cover the
     geometry (here: a Gv>1 geometry seeded in the cache), the loader
     falls back to the two-launch plans, increments the telemetry
-    counter, and the model still runs the fused path."""
+    counter, and the model still runs the fused path.  Covered for
+    both refusal exception types: legacy AssertionError and the r4
+    StripPlanError (which survives python -O; a r4 code-review found
+    the fallback dead for it)."""
     import warnings
 
     from pygho_tpu.hodata import Sppretransform, SpDataloader
@@ -1061,8 +1065,12 @@ def test_attention_planner_fallback_is_counted(rng):
         r: (64, 128, 256, 128, 128, 1) for r in ("fwd", "dx", "da")}
     before = loader_mod.ATT_PLAN_FALLBACKS["count"]
 
+    from pygho_tpu.kernels.strip_spspmm import StripPlanError
+
     def refuse(*a, **kw):
-        raise AssertionError("forced: geometry not coverable")
+        if exc == "assert":
+            raise AssertionError("forced: geometry not coverable")
+        raise StripPlanError("forced: one output block over the ceiling")
 
     saved = sa.build_attention_strip_plans
     sa.build_attention_strip_plans = refuse
