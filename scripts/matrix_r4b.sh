@@ -26,6 +26,20 @@ hps() {
 }
 COMMON="--aggr sum --mlplayer 2 --norm bn --dp 0.0 --outlayer 4 --bs 128 --ntrain $NTRAIN --epochs $EPOCHS"
 
+wait_tunnel() {
+  # the axon tunnel has multi-minute outage windows (CLAUDE.md); block
+  # until a cheap op round-trips so attempts don't burn on a dead link
+  local i
+  for i in $(seq 1 30); do
+    if timeout 120 $PY -c "
+import jax
+float(jax.numpy.ones(()).sum())" > /dev/null 2>&1; then return 0; fi
+    echo "  tunnel unresponsive (probe $i); sleeping 60 s"
+    sleep 60
+  done
+  return 1
+}
+
 run_conv() {  # $1=conv $2=sparse|dense $3=repeat
   local conv=$1 mode=$2 repeat=${3:-1}
   local rec="runs/converged/${conv}_${mode}.json"
@@ -39,11 +53,13 @@ run_conv() {  # $1=conv $2=sparse|dense $3=repeat
     cmd="$PY example/zinc_tpu.py --conv $conv --hop 4 $COMMON $(hps "$conv") --chained --repeat $repeat --converged-record $rec"
   fi
   echo "RUN  $conv $mode ($(date -u +%H:%M:%S)) -> $log"
-  local ok=0 attempt
-  for attempt in 1 2; do
+  local ok=0 attempt rc
+  for attempt in 1 2 3; do
+    wait_tunnel
     if timeout 10800 $cmd >> "$log" 2>&1; then ok=1; break; fi
-    echo "  attempt $attempt failed (rc=$?); sleeping 120 s" | tee -a "$log"
-    sleep 120
+    rc=$?
+    echo "  attempt $attempt failed (rc=$rc); sleeping 60 s" | tee -a "$log"
+    sleep 60
   done
   if [ $ok -eq 0 ] && [ "$mode" = sparse ]; then
     echo "  fused failed twice; unfused fallback" | tee -a "$log"
