@@ -38,6 +38,11 @@ parser.add_argument("--cosT", type=int, default=100)
 parser.add_argument("--K", type=float, default=0.0)
 parser.add_argument("--K2", type=float, default=0.0)
 parser.add_argument("--repeat", type=int, default=1)
+parser.add_argument("--seed0", type=int, default=0,
+                    help="first seed index (reference zinc.py:401 repeats "
+                         "seeds 0..repeat-1; seed0>0 extends an existing "
+                         "matrix entry with new seeds without re-running "
+                         "the recorded ones)")
 parser.add_argument("--ntrain", type=int, default=None,
                     help="training-set size (default 1024 synthetic "
                          "graphs; 10000 matches the reference's "
@@ -351,7 +356,7 @@ def run_once(rep: int) -> float:
         # (splitext over the basename: a dotted DIRECTORY name must not
         # swallow the suffix)
         path = args.converged_record
-        if args.repeat > 1:
+        if args.repeat > 1 or args.seed0 > 0:
             import os.path as _osp
             stem, ext = _osp.splitext(path)
             path = f"{stem}.s{rep}{ext}"
@@ -361,5 +366,5 @@ def run_once(rep: int) -> float:
     return tst
 
 
-scores = [run_once(r) for r in range(args.repeat)]
+scores = [run_once(r) for r in range(args.seed0, args.seed0 + args.repeat)]
 print(f"All {np.average(scores)} {np.std(scores)}")
