@@ -1267,6 +1267,27 @@ _STRIP_GEOMS = (
 # estimated at 13-14 MB compile and run on the 16 MB v5e; the observed
 # crasher estimated 49 MB).  16 MB rejects the true monsters while
 # keeping every hardware-validated geometry.
+# r5 fragmented-graph family from the host sweep on the 556k community
+# graph: the strip-level instrumentation showed (a) per-strip u spans of
+# ~140 rows — R=512 was 2x oversized, R=256 halves the u-gather one-hot;
+# (b) the Gv=16 fill ceiling (~0.52) is the sub-window GRANULARITY: a
+# 16-sub-window batch covers only ~150 triples' v rows (9 uniques per
+# 32-row run at the graph's ~0.3 per-strip v-intersection density),
+# cutting sub-chunks far below C.  Gv=32-64 at Rv=1024 matches
+# granularity to density: est 2.67-2.73 ms vs the Gv=16 winner's 3.65.
+# EXPERIMENTAL: interpret-exact (tests/test_kernels.py
+# test_high_gv_strip_plans) but not yet hardware-validated — kept out of
+# the default pool so mid-queue production autotunes stay on validated
+# geometries; scripts/bench_giant_pv.py A/Bs them on the chip, after
+# which the winners get promoted into _STRIP_GEOMS.
+_STRIP_GEOMS_R5_GIANT = (
+    (384, 256, 256, 128, 1024, 64),
+    (256, 256, 512, 256, 512, 32),
+    (384, 256, 256, 128, 1024, 32),
+    (256, 256, 512, 128, 512, 32),
+    (384, 256, 512, 256, 1024, 64),
+)
+
 _VMEM_BUDGET = 16 * 1024 * 1024
 
 

@@ -69,11 +69,16 @@ def main():
         return max(((x + m - 1) // m) * m, m)
 
     def mk_plan(geom):
+        import dataclasses
+        nbuf = None
+        if len(geom) == 9:          # optional 9th element: DMA depth
+            geom, nbuf = geom[:8], geom[8]
         C, R, S, St, Rv, Gv, al, pv = normalize_strip_geom(geom)
-        return build_strip_plan(np.stack([a, c, d_]), rup(x_rows, R),
-                                rup(e_rows, Rv), rup(out_rows, S),
-                                C, R, S, St, Rv, base_align=al, Gv=Gv,
-                                v_persistent=bool(pv))
+        p = build_strip_plan(np.stack([a, c, d_]), rup(x_rows, R),
+                             rup(e_rows, Rv), rup(out_rows, S),
+                             C, R, S, St, Rv, base_align=al, Gv=Gv,
+                             v_persistent=bool(pv))
+        return dataclasses.replace(p, nbuf=nbuf) if nbuf else p
 
     run = jax.jit(lambda u, v, p: jax.lax.fori_loop(
         0, N, lambda i, acc: acc + strip_contract(
@@ -88,6 +93,18 @@ def main():
         "pv_2048_s512": (512, 512, 512, 512, 2048, 1, 16, 1),
         "pv_2048_s512_c384": (384, 512, 512, 512, 2048, 1, 16, 1),
         "pv_2048_s1024": (512, 512, 1024, 1024, 2048, 1, 16, 1),
+        # r5 granularity-matched Gv family (host sweep, strip_spspmm
+        # _STRIP_GEOMS note): R=256 right-sizes the u window (spans
+        # ~140), Gv=32-64 sub-windows match the ~0.3 per-strip v
+        # density that capped Gv=16 fill at 0.52
+        "r5_gv64_c384": (384, 256, 256, 128, 1024, 64),
+        "r5_gv32_s512st256": (256, 256, 512, 256, 512, 32),
+        "r5_gv32_c384": (384, 256, 256, 128, 1024, 32),
+        "r5_gv32_g4": (256, 256, 512, 128, 512, 32),
+        "r5_gv64_st256": (384, 256, 512, 256, 1024, 64),
+        # DMA depth 3: the Gv family is near DMA-bound (1.3 MB/step at
+        # ~1.6 us/step); one extra lookahead window costs ~1.3 MB VMEM
+        "r5_gv64_c384_nb3": (384, 256, 256, 128, 1024, 64, 16, 0, 3),
     }
     plans, est = {}, {}
     for name, geom in cands.items():

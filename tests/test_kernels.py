@@ -830,6 +830,40 @@ def test_multiwindow_v_strip_plans(rng):
     assert maxdiff(gm[1], gs[1]) < 1e-4
 
 
+def test_high_gv_strip_plans(rng):
+    """Gv = 32/64 (the r5 granularity-matched fragmented-graph family):
+    the sub-window count generalizes past the Gv<=16 geometries that
+    were hardware-validated in r3/r4 — exactness vs the XLA oracle,
+    forward and gradients, incl. the narrow Rvs = Rv/Gv = 16 case."""
+    from pygho_tpu.kernels.strip_spspmm import (build_spspmm_strip_plans,
+                                                fused_spspmm_strip)
+
+    n_out, n_u, n_v, D = 512, 512, 2048, 128
+    K = 4096
+    a = np.sort(rng.integers(0, n_out, K))
+    c = rng.integers(0, n_u, K)
+    d = rng.integers(0, n_v, K)     # v spans the whole 2048-row operand
+    acd = np.stack([a, c, d]).astype(np.int64)
+    U = jnp.asarray(rng.normal(size=(n_u, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_v, D)).astype(np.float32))
+    oracle = jnp.zeros((n_out, D)).at[a].add(U[c] * V[d])
+    for geom in ((384, 256, 256, 128, 1024, 64),   # Rvs = 16
+                 (256, 256, 512, 256, 512, 32)):   # Rvs = 16, G = 2
+        plans = build_spspmm_strip_plans(
+            acd, n_u, n_v, n_out,
+            {"fwd": geom, "dx": geom, "da": geom})
+        assert plans[0].Gv == geom[5]
+        out = fused_spspmm_strip(U, V, *plans, True)[:n_out]
+        assert maxdiff(out, oracle) < 1e-4, geom
+        gu, gv = jax.grad(lambda u, v: (fused_spspmm_strip(
+            u, v, *plans, True) ** 2).sum(), (0, 1))(U, V)
+        ou, ov = jax.grad(lambda u, v: (
+            (jnp.zeros((n_out, D)).at[a].add(u[c] * v[d])) ** 2).sum(),
+            (0, 1))(U, V)
+        assert maxdiff(gu, ou) < 1e-3, geom
+        assert maxdiff(gv, ov) < 1e-3, geom
+
+
 def test_persistent_v_window_strip_plans(rng, monkeypatch):
     """pv mode (persistent v windows): on a community-structured
     workload the planner merges consecutive steps into shared v windows
