@@ -142,7 +142,7 @@ def main():
         def __call__(self, x):
             return x
 
-    m_c, o_c, s_c = stacked_for("NGAT")
+    m_c, _o_unused, s_c = stacked_for("NGAT")
     patched = 0
     for lyr in getattr(m_c, "subggnns", []):
         if isinstance(lyr, conv_mod.NGATConv):
@@ -151,6 +151,11 @@ def main():
             lyr.att2 = _Id()
             lyr.att3 = _Id()
             lyr.attA = _Id()
+    # the optimizer must be built AFTER patching: _Id is not an nnx
+    # module, so the patched model's param tree lacks att1..attA and a
+    # pre-patch optimizer's state no longer merges (dict key mismatch)
+    from pygho_tpu.models.training import make_optimizer as _mk_opt
+    o_c = _mk_opt(m_c, 1e-3)
     try:
         assert patched, "no NGATConv layers found to patch"
         out["ngat_nolin_step_ms"] = t_epoch(m_c, o_c, s_c) * 1e3
