@@ -61,6 +61,10 @@ parser.add_argument("--ddp", type=int, default=0,
                     help="data-parallel over N devices (sparse): shard_map "
                          "train step with pmean'd grads/BN stats; eval runs "
                          "single-device on the synced state")
+parser.add_argument("--remat", action="store_true",
+                    help="layer-level rematerialization (sparse or "
+                         "dense): recompute conv activations in the "
+                         "backward pass instead of storing them")
 parser.add_argument("--chained", action="store_true",
                     help="whole-epoch lax.scan training/eval: one device "
                          "dispatch per padding bucket per epoch — wins when "
@@ -129,7 +133,8 @@ def run_once(rep: int) -> float:
                               npool=args.npool, lpool=args.lpool,
                               cpool=args.cpool, outlayer=args.outlayer,
                               mlp=mlpdict, seed=rep,
-                              dtype=(jnp.bfloat16 if args.bf16 else None))
+                              dtype=(jnp.bfloat16 if args.bf16 else None),
+                              remat=args.remat)
         keys = parse_precomputekey(model)
         sampler = (partial(I2Sampler, hop=args.hop) if args.conv == "I2GNN"
                    else partial(KhopSampler, hop=args.hop))
@@ -140,7 +145,8 @@ def run_once(rep: int) -> float:
                               hiddim=args.hiddim, npool=args.npool,
                               lpool=args.lpool, cpool=args.cpool,
                               outlayer=args.outlayer, mlp=mlpdict, seed=rep,
-                              dtype=(jnp.bfloat16 if args.bf16 else None))
+                              dtype=(jnp.bfloat16 if args.bf16 else None),
+                              remat=args.remat)
         keys = []
         pre = Mapretransform(partial(spdsampler, hop=args.hop), [""])
         tag = f"ma_{args.conv}_h{args.hop}"

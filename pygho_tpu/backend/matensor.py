@@ -33,8 +33,14 @@ class MaskedTensor:
     mask: jax.Array   # bool[*maskedshape], True = valid
 
     def __post_init__(self):
-        assert self.data.ndim >= self.mask.ndim
-        assert self.data.shape[: self.mask.ndim] == self.mask.shape
+        # shape guards only when both children are array-like: pytree
+        # transforms (nnx.remat's clear_non_graph_nodes, tree_map with
+        # None/placeholder leaves) reconstruct registered dataclasses
+        # with non-array children, and must not trip dev asserts
+        # (SparseTensor has no __post_init__ for the same reason)
+        if hasattr(self.data, "ndim") and hasattr(self.mask, "ndim"):
+            assert self.data.ndim >= self.mask.ndim
+            assert self.data.shape[: self.mask.ndim] == self.mask.shape
 
     # -- properties --------------------------------------------------------
 

@@ -292,7 +292,8 @@ class MaModel(nnx.Module):
                  npool: str = "mean", lpool: str = "max",
                  cpool: str = "mean", residual: bool = True,
                  outlayer: int = 2, mlp: Optional[dict] = None,
-                 mode: str = "DD", dtype=None, *, rngs: nnx.Rngs):
+                 mode: str = "DD", dtype=None, remat: bool = False,
+                 *, rngs: nnx.Rngs):
         from ..honn import ma_operator as MaOperator
 
         assert mode in ("DD", "SD")
@@ -302,6 +303,13 @@ class MaModel(nnx.Module):
         if dtype is not None:   # mixed precision: bf16 compute, f32 params
             mlp.setdefault("dtype", dtype)
         self.dtype = dtype
+        # layer-level rematerialization: the dense-DD train step is
+        # HBM-bound (r5 cost analysis: 16.8 GB accessed vs 64.9 GFLOP =
+        # 0.33 ms of MXU — recompute is effectively free), so dropping
+        # per-layer intermediates from the backward tape trades traffic
+        # the step can't afford for FLOPs it can (same rationale as
+        # SpModel(remat=True), BENCHMARKS "Rematerialization")
+        self.remat = remat
         self.hiddim = hiddim
         self.residual = residual
 
@@ -352,7 +360,11 @@ class MaModel(nnx.Module):
                                 else A.values.astype(self.dtype))
         X = self.tupleinit(X, x)
         for conv in self.subggnns:
-            tX = conv(A, X, datadict)
+            if self.remat:
+                tX = nnx.remat(
+                    lambda c, A, X, dd: c(A, X, dd))(conv, A, X, datadict)
+            else:
+                tX = conv(A, X, datadict)
             X = X.add(tX, True) if self.residual else tX
         xm = self.lpool_op(X)
         xm = xm.tuplewiseapply(lambda v: self.poolmlp(v, xm.mask))

@@ -65,6 +65,64 @@ def test_dense_model_trains(conv):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_remat_matches_nonremat():
+    """remat=True must be numerics-neutral (same loss and gradients up
+    to re-association) for BOTH model families; it only changes what
+    the backward tape stores.  MaModel remat is r5 (the dense-DD step
+    is HBM-bound); the MaskedTensor __post_init__ guard relaxation it
+    needed (nnx.remat's clear_non_graph_nodes rebuilds registered
+    dataclasses with None children) is exercised implicitly here."""
+    from pygho_tpu.hodata import collate_dense
+    from pygho_tpu.hodata.ma_data import batch_to_dense_dict
+    from pygho_tpu.hodata.sp_data import collate_sparse, batch_to_sparse_dict
+    from pygho_tpu.models.training import masked_l1_loss
+
+    graphs = synthetic_zinc("train", n_graphs=8)
+
+    # dense (PPGN: the bmm path remat was added for)
+    madatas = [Mapretransform(spdsampler, [""])(g) for g in graphs]
+    mbatch = {k: jnp.asarray(np.asarray(v))
+              for k, v in collate_dense(madatas, [""],
+                                        num_graphs=8).items()}
+
+    def ma_loss(model):
+        dd = batch_to_dense_dict(mbatch, ("",))
+        return masked_l1_loss(model(dd), mbatch["y"],
+                              mbatch["graph_mask"])
+
+    for conv, fam in (("PPGN", "ma"), ("NGNN", "sp")):
+        if fam == "ma":
+            m0 = make_ma_model(conv, num_layer=2, hiddim=16,
+                               mlp=dict(MLPD))
+            m1 = make_ma_model(conv, num_layer=2, hiddim=16,
+                               remat=True, mlp=dict(MLPD))
+            loss_fn = ma_loss
+        else:
+            m0 = make_sp_model(conv, num_layer=2, hiddim=16,
+                               mlp=dict(MLPD))
+            keys = parse_precomputekey(m0)
+            datas = [Sppretransform(KhopSampler, [""], keys)(g)
+                     for g in graphs]
+            sbatch = {k: jnp.asarray(np.asarray(v)) for k, v in
+                      collate_sparse(datas, keys, buckets={}).items()}
+            m1 = make_sp_model(conv, num_layer=2, hiddim=16,
+                               remat=True, mlp=dict(MLPD))
+
+            def loss_fn(model):
+                dd = batch_to_sparse_dict(sbatch, ("",))
+                return masked_l1_loss(model(dd), sbatch["y"],
+                                      sbatch["graph_mask"])
+        l0, g0 = nnx.value_and_grad(loss_fn)(m0)
+        l1, g1 = nnx.value_and_grad(loss_fn)(m1)
+        assert np.allclose(float(l0), float(l1), rtol=1e-6), (conv, l0, l1)
+        flat0 = jax.tree.leaves(g0)
+        flat1 = jax.tree.leaves(g1)
+        assert len(flat0) == len(flat1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+
 def test_eval_deterministic():
     model, dl = _sp_loader("NGNN")
     _, eval_step = make_sparse_steps()
