@@ -96,22 +96,15 @@ harness() {  # $1=name rest=cmd -- tmp->mv so failures never leave a
   fi
 }
 
-# 1. retry anything the r4 queue failed to record (skips completed)
-run_conv SSWL   sparse 0 1
-run_conv DSSGNN sparse 0 1
-run_conv GNNAK  sparse 0 1
-run_conv SUN    sparse 0 1
-run_conv I2GNN  sparse 0 1
-run_conv NGAT   sparse 0 1
-run_conv PPGN   dense  0 1
-run_conv SSWL   dense  0 1
-
-# 2. measurement harnesses (validated-JSON skip + tmp->mv)
-harness giant_pv_r4     python scripts/bench_giant_pv.py
+# 1. measurement harnesses FIRST (validated-JSON skip + tmp->mv).
+#    r4's defining weakness was building these and never firing them
+#    (they sat behind ~4h of training configs and the round ended);
+#    they are ~15-30 min each and close VERDICT r4 items 2/3/4.
 harness dense_ablate_r4 python scripts/bench_dense_ablate.py
 harness ngat_ablate_r4  python scripts/bench_ngat_ablate.py
+harness giant_pv_r4     python scripts/bench_giant_pv.py
 
-# 3. subgraphcount tuned (VERDICT r4 item 5), if r4b didn't finish it
+# 2. subgraphcount tuned (VERDICT r4 item 5), if r4b didn't finish it
 if ! grep -q "FINAL" runs/logs/count_triangle_tuned.log 2>/dev/null; then
   echo "== count_triangle tuned ($(date -u +%H:%M:%S))"
   timeout 7200 python example/expressivity_tpu.py --dataset count \
@@ -121,6 +114,16 @@ if ! grep -q "FINAL" runs/logs/count_triangle_tuned.log 2>/dev/null; then
     > runs/logs/count_triangle_tuned.log 2>&1 \
     && tail -2 runs/logs/count_triangle_tuned.log || echo "FAIL count_triangle"
 fi
+
+# 3. retry anything the r4 queue failed to record (skips completed)
+run_conv SSWL   sparse 0 1
+run_conv DSSGNN sparse 0 1
+run_conv GNNAK  sparse 0 1
+run_conv SUN    sparse 0 1
+run_conv I2GNN  sparse 0 1
+run_conv NGAT   sparse 0 1
+run_conv PPGN   dense  0 1
+run_conv SSWL   dense  0 1
 
 # 4. multi-seed extension (VERDICT item 7): 2 more seeds for the two
 #    already-recorded non-NGNN-sparse configs
