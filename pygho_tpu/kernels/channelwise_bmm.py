@@ -22,12 +22,18 @@ relayouts.  (An MXU variant using in-VMEM (d, n, n) transposes measured
 0.90 ms but its relayout scratch sits at the 16 MB VMEM ceiling and
 compiles only intermittently — rejected.)
 
-Training still uses the einsum: under ``jax.grad`` the custom_vjp's fwd
-rule replaces the kernel with the einsum so XLA shares the transposed
-layouts between forward and the two gradient contractions (a kernel
-forward + einsum backward measured *slower* than pure einsum because
-the layout sharing breaks at the seam).  The kernel therefore
-accelerates exactly the inference/serving path, where no vjp is traced.
+Training runs the kernel for the primal AND both gradients (the
+gradients are themselves channel-wise bmms of n-transposed operands, so
+d stays on the lanes and no (b, d, n, n) relayout exists anywhere in
+the step).  Measured on the full chained PPGN train step
+(runs/dense_ablate_r4.json, v5e): all-kernel 13.16 ms vs all-einsum
+16.80 ms — 1.28x.  The historical half-and-half configuration (kernel
+forward + einsum backward) measured *slower* than pure einsum because
+the einsum gradients want the (b, d, n, n) relayouts the kernel primal
+refused to materialize; it remains available via
+``set_cw_train_kernel(False)`` which restores the all-einsum train
+path (einsum primal so XLA shares the relayouts across the three
+contractions).
 """
 
 from __future__ import annotations
@@ -91,12 +97,14 @@ def channelwise_bmm(A: jax.Array, X: jax.Array,
     return _cw_bmm_raw(A, X, interpret)
 
 
-# Training-path mode: False (default) keeps the einsum primal+backward
-# (XLA shares the (b, d, n, n) relayouts across the three contractions);
-# True runs the Pallas kernel for the primal AND both gradients (the
-# gradients are themselves channel-wise bmms of n-transposed operands,
-# and the (n, n) swap keeps d on the lanes — no (b, d, n, n) relayout).
-_TRAIN_KERNEL = False
+# Training-path mode: True (default) runs the Pallas kernel for the
+# primal AND both gradients (the gradients are themselves channel-wise
+# bmms of n-transposed operands, and the (n, n) swap keeps d on the
+# lanes — no (b, d, n, n) relayout; 13.16 vs 16.80 ms on the chained
+# PPGN step, runs/dense_ablate_r4.json).  False restores the all-einsum
+# train path (einsum primal+backward so XLA shares the (b, d, n, n)
+# relayouts across the three contractions).
+_TRAIN_KERNEL = True
 
 
 def set_cw_train_kernel(on: bool) -> None:

@@ -284,6 +284,48 @@ def test_channelwise_bmm_matches_einsum(rng):
     assert maxdiff(g1[1], g2[1]) < 1e-2
 
 
+def test_channelwise_train_kernel_grad_parity(rng):
+    """The all-kernel training path (set_cw_train_kernel(True), the
+    default — primal and both gradients on the Pallas kernel, no
+    (b, d, n, n) relayouts) matches the all-einsum path, forward and
+    gradients (interpret mode on CPU)."""
+    from pygho_tpu.kernels.channelwise_bmm import (channelwise_bmm,
+                                                   set_cw_train_kernel)
+
+    B, n, d = 3, 24, 128
+    A = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+    X = jnp.asarray(rng.normal(size=(B, n, n, d)).astype(np.float32))
+
+    def loss(a, x):
+        return (channelwise_bmm(a, x, True) ** 2).sum()
+
+    def loss_ref(a, x):
+        return (jnp.einsum("bikd,bkjd->bijd", a, x,
+                           preferred_element_type=jnp.float32) ** 2).sum()
+
+    set_cw_train_kernel(True)
+    try:
+        out = channelwise_bmm(A, X, True)
+        gk = jax.grad(loss, argnums=(0, 1))(A, X)
+    finally:
+        set_cw_train_kernel(True)   # default stays on
+    ref = jnp.einsum("bikd,bkjd->bijd", A, X,
+                     preferred_element_type=jnp.float32)
+    ge = jax.grad(loss_ref, argnums=(0, 1))(A, X)
+    assert maxdiff(out, ref) < 1e-4
+    assert maxdiff(gk[0], ge[0]) / max(float(jnp.abs(ge[0]).max()), 1e-6) < 1e-5
+    assert maxdiff(gk[1], ge[1]) / max(float(jnp.abs(ge[1]).max()), 1e-6) < 1e-5
+
+    # bf16 operands: kernel casts to f32 in VMEM; grads return bf16
+    Ab, Xb = A.astype(jnp.bfloat16), X.astype(jnp.bfloat16)
+    gb = jax.grad(lambda a, x: (channelwise_bmm(a, x, True)
+                                .astype(jnp.float32) ** 2).sum(),
+                  argnums=(0, 1))(Ab, Xb)
+    assert gb[0].dtype == jnp.bfloat16
+    scale = max(float(jnp.abs(ge[0]).max()), 1e-6)
+    assert maxdiff(gb[0].astype(jnp.float32), ge[0]) / scale < 2e-2
+
+
 def test_mamamm_channelwise_dim_variants(rng):
     """All four (dim1, dim2) combinations canonicalize correctly to the
     kernel's (2, 1) contraction (checked against the einsum path)."""
