@@ -230,6 +230,39 @@ class NGATConv(nnx.Module):
         self.keyop = SpOperator.OpMessagePassing(
             optuplefeat, optuplefeat, 1, opadj, 0, aggr)
 
+    def _att_proj(self, xv, av):
+        """The four attention projections as TWO matmuls: att1/att2/att3
+        share the input plane, so one (d, 3*d) concatenated weight reads
+        ``xv`` once instead of three times.  Under fast math on TPU the
+        matmuls run in bf16 with f32 accumulation — the downstream fused
+        kernels cast their operands to bf16 on entry anyway, and the r5
+        ablation (runs/ngat_ablate_r4.json) showed the f32 projections'
+        multi-pass MXU decomposition was ~13 ms of the 35.5 ms step.
+        Exact math (and CPU, where the parity tests run) keeps f32.
+        Gradients flow to the per-Linear params through the concat."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.fused_spspmm import get_fused_math
+
+        W = jnp.concatenate([self.att1.kernel.value,
+                             self.att2.kernel.value,
+                             self.att3.kernel.value], axis=1)
+        b = jnp.concatenate([self.att1.bias.value,
+                             self.att2.bias.value,
+                             self.att3.bias.value])
+        WA, bA = self.attA.kernel.value, self.attA.bias.value
+        o = self.att1.kernel.value.shape[1]
+        if get_fused_math() and jax.default_backend() == "tpu":
+            proj = jnp.dot(xv.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) + b
+            aA = jnp.dot(av.astype(jnp.bfloat16), WA.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) + bA
+        else:
+            proj = jnp.dot(xv, W) + b
+            aA = jnp.dot(av, WA) + bA
+        return proj[:, :o], proj[:, o:2 * o], proj[:, 2 * o:], aA
+
     def __call__(self, A: SparseTensor, X: SparseTensor,
                  datadict: Dict) -> SparseTensor:
         from ..backend.segment import segment_reduce, segment_softmax
@@ -255,10 +288,7 @@ class NGATConv(nnx.Module):
             from ..kernels.fused_spspmm import get_fused_math
             from ..kernels.strip_attention import fused_attention_strip
 
-            a1 = self.att1(tX.values)
-            a2 = self.att2(tX.values)
-            a3 = self.att3(tX.values)
-            aA = self.attA(A.values)
+            a1, a2, a3, aA = self._att_proj(tX.values, A.values)
             # rows with triples: a flushed-to-zero denominator on one of
             # these poisons with NaN (loud) instead of silently being 0.
             # Batch-constant -> loaders precompute it host-side
@@ -290,10 +320,7 @@ class NGATConv(nnx.Module):
             import jax.numpy as jnp
 
             score_plans, agg_plans = attplans
-            a1 = self.att1(tX.values)
-            a2 = self.att2(tX.values)
-            a3 = self.att3(tX.values)
-            aA = self.attA(A.values)
+            a1, a2, a3, aA = self._att_proj(tX.values, A.values)
             from ..kernels import fused_spspmm, fused_spspmm_strip
             from ..kernels.fused_spspmm import get_fused_math
             from ..kernels.strip_spspmm import StripPlan

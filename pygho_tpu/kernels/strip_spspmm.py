@@ -1260,6 +1260,23 @@ _STRIP_GEOMS = (
     (384, 512, 256, 256, 2048, 1, 16, 1),
     (256, 512, 128, 128, 2048, 1, 16, 1),
     (512, 256, 256, 256, 1024, 1, 16, 1),
+    # r5 hardware A/B winners on the 556k fragmented community graph
+    # (runs/giant_pv_r4.json, interleaved medians, same session):
+    # pv at S = St = 512 BEATS the S = 256 guidance above — 4.76-4.79 ms
+    # vs the r3 Gv=16 winner's 5.70 (1.20x) — because pv's per-step DMA
+    # is u-only (v amortized per window), which held at measured rates
+    # while every Gv>1 plan's per-step sub-window DMA failed to overlap
+    # (measured ~1.9x its max(comp, dma) estimate; see BENCHMARKS
+    # "Giant-pv hardware A/B").  The cost model still prices pv above
+    # the Gv family on this graph — use autotune(measure=K) where the
+    # plan is reused enough to amortize on-device timing.
+    (384, 512, 512, 512, 2048, 1, 16, 1),
+    (512, 512, 512, 512, 2048, 1, 16, 1),
+    # r5 granularity-matched Gv=64 family, hardware-validated at
+    # 5.02-5.26 ms on the same graph (beats the Gv=16 winner in-session,
+    # loses to pv); promoted so cost-ranked autotune stops picking Gv=16
+    (384, 256, 256, 128, 1024, 64),
+    (384, 256, 512, 256, 1024, 64),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which
@@ -1275,11 +1292,12 @@ _STRIP_GEOMS = (
 # 32-row run at the graph's ~0.3 per-strip v-intersection density),
 # cutting sub-chunks far below C.  Gv=32-64 at Rv=1024 matches
 # granularity to density: est 2.67-2.73 ms vs the Gv=16 winner's 3.65.
-# EXPERIMENTAL: interpret-exact (tests/test_kernels.py
-# test_high_gv_strip_plans) but not yet hardware-validated — kept out of
-# the default pool so mid-queue production autotunes stay on validated
-# geometries; scripts/bench_giant_pv.py A/Bs them on the chip, after
-# which the winners get promoted into _STRIP_GEOMS.
+# Hardware-validated 2026-08-20 (runs/giant_pv_r4.json): the family
+# measured 5.0-5.9 ms — beating the Gv=16 winner in-session (5.70) but
+# ~1.9x its own estimate (the per-step sub-window DMA does not overlap
+# with compute at measured rates), and losing to the pv S=St=512
+# candidates (4.76).  The two best entries are promoted into
+# _STRIP_GEOMS above; this tuple remains the A/B candidate list.
 _STRIP_GEOMS_R5_GIANT = (
     (384, 256, 256, 128, 1024, 64),
     (256, 256, 512, 256, 512, 32),
@@ -1353,14 +1371,66 @@ def _probe_strip_geom(geom, D: int, exact: bool) -> bool:
     return ok
 
 
+def _time_strip_plans(plans, D: int, exact: bool,
+                      iters: int = 12, reps: int = 3) -> list:
+    """On-device wall time per plan (seconds/contraction), interleaved
+    across candidates so tunnel/session drift hits all equally.  Plans
+    ride as jit ARGUMENTS (closure capture would inline MBs of plan
+    constants into HLO).  Candidates whose compile or run fails time as
+    inf."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    run = jax.jit(lambda u, v, p: jax.lax.fori_loop(
+        0, iters, lambda i, acc: acc + strip_contract(
+            u, v, p, exact=exact)[0, :1], jnp.zeros((1,), jnp.float32)),
+        static_argnames=())
+
+    rng = np.random.default_rng(0)
+    ops, best = [], [float("inf")] * len(plans)
+    for p in plans:
+        try:
+            U = jax.device_put(
+                rng.normal(size=(p.u_rows, D)).astype(np.float32))
+            V = jax.device_put(
+                rng.normal(size=(p.v_rows, D)).astype(np.float32))
+            float(jnp.sum(run(U, V, p)))          # compile + warm
+            ops.append((U, V, p))
+        except Exception:                         # Mosaic crash at the
+            ops.append(None)                      # real (not probe) shape
+    for _ in range(reps):
+        for i, op in enumerate(ops):
+            if op is None:
+                continue
+            U, V, p = op
+            t0 = time.perf_counter()
+            float(jnp.sum(run(U, V, p)))
+            best[i] = min(best[i], (time.perf_counter() - t0) / iters)
+    return best
+
+
 def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
                          out_rows: int, D: int = 128, exact: bool = True,
-                         candidates=None, probe: bool = True) -> dict:
+                         candidates=None, probe: bool = True,
+                         measure: int = 0) -> dict:
     """Per-role strip geometry by building REAL plans per candidate and
     scoring with estimate_strip_cost (mirrors v1 autotune_spspmm_geoms).
     The cost-ranked winner is compile-probed (`_probe_strip_geom`)
     before selection so a Mosaic-crashing geometry can never take down
-    training — it falls back to the next-best candidate instead."""
+    training — it falls back to the next-best candidate instead.
+
+    ``measure`` > 0 (TPU only): the top-``measure`` cost-ranked,
+    probe-passing candidates are additionally TIMED on device with
+    their real plans (interleaved reps, min taken) and the measured
+    winner is returned.  This closes the gap where the analytic model
+    mispredicts DMA/compute overlap — on the 556k fragmented community
+    graph the model prices the pv family 1.4x ABOVE the Gv=64 family
+    while hardware runs it 1.1x FASTER (runs/giant_pv_r4.json).  Each
+    timed candidate costs one remote compile (~20-40 s through the
+    tunnel), so reserve it for plans reused many times (giant graphs,
+    long trainings)."""
     acd = np.asarray(acd)
     a, c, d = acd[0], acd[1], acd[2]
     real = a < PAD_INDEX
@@ -1389,11 +1459,21 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
                 # Mosaic ceiling and launch splitting can't cut it —
                 # this candidate simply doesn't fit the workload
                 continue
-            scored.append((estimate_strip_cost(plan, D, exact), g))
+            scored.append((estimate_strip_cost(plan, D, exact), g, plan))
         if not scored:
             raise StripPlanError("no strip geometry candidate fits")
         scored.sort(key=lambda cg: cg[0])
-        for _, g in scored:
+        if measure > 0 and jax.default_backend() == "tpu":
+            finalists = [(g, plan) for _, g, plan in scored
+                         if not probe or _probe_strip_geom(g, D, exact)]
+            finalists = finalists[:measure]
+            if finalists:
+                ts = _time_strip_plans([p for _, p in finalists],
+                                       D, exact)
+                i = int(np.argmin(ts))
+                if np.isfinite(ts[i]):
+                    return finalists[i][0]
+        for _, g, _plan in scored:
             if not probe or _probe_strip_geom(g, D, exact):
                 return g
         raise StripPlanError(

@@ -762,6 +762,29 @@ def test_fused_ngat_attention_matches_xla(rng, mode, plan_key):
         assert maxdiff(a, b) < 2e-4
 
 
+def test_autotune_measure_mode(rng):
+    """measure>0: on CPU the device-timing stage is skipped (backend
+    gate) and the cost-ranked winner returns unchanged; the timing
+    helper itself runs real plans in interpret mode and returns finite
+    times in plan order."""
+    from pygho_tpu.kernels.strip_spspmm import (autotune_strip_geoms,
+                                                build_strip_plan,
+                                                _time_strip_plans)
+
+    X, A, acd_p = _case(rng)
+    g0 = autotune_strip_geoms(np.asarray(acd_p), X.nnz_pad, A.nnz_pad,
+                              X.nnz_pad, 128, True, probe=False)
+    g1 = autotune_strip_geoms(np.asarray(acd_p), X.nnz_pad, A.nnz_pad,
+                              X.nnz_pad, 128, True, probe=False,
+                              measure=3)
+    assert g0 == g1
+
+    p = build_strip_plan(np.asarray(acd_p), X.nnz_pad, A.nnz_pad,
+                         X.nnz_pad, 128, 256, 128, 128, 256)
+    ts = _time_strip_plans([p], 128, True, iters=1, reps=1)
+    assert len(ts) == 1 and np.isfinite(ts[0]) and ts[0] > 0
+
+
 def test_strip_vmem_guard_and_geom_normalizer():
     """The VMEM estimator rejects the observed Mosaic crasher geometry,
     keeps every hardware-validated one, and the autotuner only returns
