@@ -1,0 +1,36 @@
+#!/bin/bash
+# Post-matrix r5 stage: waits for matrix_r5.sh to finish, then
+#   1. re-runs the NGAT ablate (after the _att_proj bf16/concat change)
+#      -> runs/ngat_ablate_r5.json  (paired with r4: NGNN row is the
+#      session-drift control)
+#   2. re-runs the dense ablate (after the cw train-kernel default flip)
+#      -> runs/dense_ablate_r5.json
+#   3. refreshes bench.py -> runs/bench_r5_final.json
+# Resumable; tmp->mv so failures never leave a skip-triggering artifact.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs/logs
+
+while ps -o args= -C bash 2>/dev/null | grep -q "matrix_r5.sh"; do
+  sleep 180
+done
+echo "matrix_r5 done; final stage starts ($(date -u +%H:%M:%S))"
+
+harness() {
+  local name=$1; shift
+  if [ -f "runs/${name}.json" ] && python -c "import json;json.load(open('runs/${name}.json'))" 2>/dev/null; then
+    echo "SKIP $name"; return 0
+  fi
+  rm -f "runs/${name}.json"
+  echo "== $name ($(date -u +%H:%M:%S))"
+  if timeout 7200 "$@" > "runs/${name}.json.tmp" 2> "runs/logs/${name}.log"; then
+    mv "runs/${name}.json.tmp" "runs/${name}.json" && echo "OK $name"
+  else
+    rm -f "runs/${name}.json.tmp"; echo "FAIL $name (runs/logs/${name}.log)"
+  fi
+}
+
+harness ngat_ablate_r5  python scripts/bench_ngat_ablate.py
+harness dense_ablate_r5 python scripts/bench_dense_ablate.py
+harness bench_r5_final  python bench.py
+echo "final_r5 complete ($(date -u +%H:%M:%S))"
