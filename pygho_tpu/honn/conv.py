@@ -253,7 +253,9 @@ class NGATConv(nnx.Module):
                              self.att3.bias.value])
         WA, bA = self.attA.kernel.value, self.attA.bias.value
         o = self.att1.kernel.value.shape[1]
-        if get_fused_math() and jax.default_backend() == "tpu":
+        # get_fused_math() returns the EXACT flag (True = exact f32);
+        # bf16 projections only under FAST math
+        if not get_fused_math() and jax.default_backend() == "tpu":
             proj = jnp.dot(xv.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32) + b
             aA = jnp.dot(av.astype(jnp.bfloat16), WA.astype(jnp.bfloat16),
