@@ -171,7 +171,9 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
     measured 1.4-1.7x the v1 chunk kernel on the ZINC workload, see
     BENCHMARKS.md) or "chunk" (v1).  For "strip", ``plan_geometry``
     "autotune" picks per-role (C, R, S, St, Rv) via the strip cost
-    model; explicit tuples must be 5-tuples."""
+    model; "autotune+measure" additionally times the top candidates on
+    device and picks the measured winner (one remote compile each —
+    for high-reuse plans); explicit tuples must be 5-tuples."""
     from ..backend.indexing import bucket_size
     from ..honn.sp_operator import KEYSEP
     from ..hodata.sp_data import parsekey
@@ -196,12 +198,18 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
                 continue
             op0, op1, _, op2, _ = parsekey(key)
             acd = batch[f"{key}{KEYSEP}acd"]
-            if geom == "autotune" or geom == "auto":
+            if geom in ("autotune", "auto", "autotune+measure"):
                 gname = f"strip{key}"
                 if gname not in geoms_cache:
+                    # "+measure": top-6 cost-ranked candidates timed on
+                    # device with their real plans (one remote compile
+                    # each) — for plans reused many times; the analytic
+                    # model alone mispredicts DMA/compute overlap on
+                    # fragmented giant graphs (BENCHMARKS r5 giant-pv)
                     geoms_cache[gname] = autotune_strip_geoms(
                         acd, rows_of(op1), rows_of(op2), rows_of(op0),
-                        D=plan_dim)
+                        D=plan_dim,
+                        measure=6 if geom == "autotune+measure" else 0)
                 geoms = geoms_cache[gname]
             elif isinstance(geom, str):
                 raise ValueError(f"unknown plan_geometry {geom!r}")
