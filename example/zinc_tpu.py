@@ -53,6 +53,11 @@ parser.add_argument("--num_layer", type=int, default=6)
 parser.add_argument("--hiddim", type=int, default=128)
 parser.add_argument("--fused", action="store_true",
                     help="fused Pallas kernel with bf16 fast math (sparse)")
+parser.add_argument("--plan-measure", action="store_true",
+                    help="with --fused: time the top autotune geometry "
+                         "candidates on device and pick the measured "
+                         "winner (one remote compile each; for "
+                         "high-reuse plans / giant graphs)")
 parser.add_argument("--bf16", action="store_true",
                     help="bf16 activations/compute (sparse or dense), "
                          "MLPs and norms (params stay f32); composes "
@@ -176,6 +181,8 @@ def run_once(rep: int) -> float:
         mk = lambda split, **kw: SpDataloader(
             ds[split].datas, args.bs, keys, build_plans=args.fused,
             plan_dim=args.hiddim,
+            plan_geometry=("autotune+measure" if args.plan_measure
+                           else "autotune"),
             # NGAT: fused attention stages need the score/agg plan pairs
             attention_plans=args.fused and args.conv == "NGAT",
             device_put=not args.chained, **kw)
