@@ -178,9 +178,10 @@ def run_once(rep: int) -> float:
             set_fused_math(False)
         # chained mode stacks on host and device_puts once — per-batch
         # device_put would move the epoch over the link several times
+        shared_geoms = {}   # one autotune (incl. measured) for all splits
         mk = lambda split, **kw: SpDataloader(
             ds[split].datas, args.bs, keys, build_plans=args.fused,
-            plan_dim=args.hiddim,
+            plan_dim=args.hiddim, geoms_cache=shared_geoms,
             plan_geometry=("autotune+measure" if args.plan_measure
                            else "autotune"),
             # NGAT: fused attention stages need the score/agg plan pairs
@@ -245,6 +246,8 @@ def run_once(rep: int) -> float:
         dp_buckets = {}
         dp_geoms = {}
         dp_kw = dict(build_plans=args.fused, plan_dim=args.hiddim,
+                     plan_geometry=("autotune+measure" if args.plan_measure
+                                    else "autotune"),
                      geoms_cache=dp_geoms)
         if args.chained:
             # dp x chained composition: stack the sharded epoch once,

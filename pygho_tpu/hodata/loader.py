@@ -205,11 +205,23 @@ def add_spspmm_plans(batch, keys, buckets, geoms_cache,
                     # device with their real plans (one remote compile
                     # each) — for plans reused many times; the analytic
                     # model alone mispredicts DMA/compute overlap on
-                    # fragmented giant graphs (BENCHMARKS r5 giant-pv)
-                    geoms_cache[gname] = autotune_strip_geoms(
-                        acd, rows_of(op1), rows_of(op2), rows_of(op0),
-                        D=plan_dim,
-                        measure=6 if geom == "autotune+measure" else 0)
+                    # fragmented giant graphs (BENCHMARKS r5 giant-pv).
+                    # Timed with the math mode that will actually train
+                    # (fast bf16 halves DMA bytes and regroups views —
+                    # a different overlap point than exact f32); the
+                    # plain cost-ranked path keeps exact=True (billing
+                    # is mode-independent since the mixed-dot change).
+                    if geom == "autotune+measure":
+                        from ..kernels.fused_spspmm import get_fused_math
+
+                        geoms_cache[gname] = autotune_strip_geoms(
+                            acd, rows_of(op1), rows_of(op2),
+                            rows_of(op0), D=plan_dim,
+                            exact=get_fused_math(), measure=6)
+                    else:
+                        geoms_cache[gname] = autotune_strip_geoms(
+                            acd, rows_of(op1), rows_of(op2),
+                            rows_of(op0), D=plan_dim)
                 geoms = geoms_cache[gname]
             elif isinstance(geom, str):
                 raise ValueError(f"unknown plan_geometry {geom!r}")
@@ -434,7 +446,7 @@ class SpDataloader(_BaseLoader):
                  annotate: Sequence[str] = ("",), build_plans: bool = False,
                  plan_geometry="autotune", plan_dim: int = 128,
                  plan_kind: str = "strip", attention_plans: bool = False,
-                 **kw):
+                 geoms_cache: Optional[dict] = None, **kw):
         super().__init__(dataset, batch_size, **kw)
         self.keys = tuple(keys)
         self.annotate = tuple(annotate)
@@ -446,7 +458,11 @@ class SpDataloader(_BaseLoader):
         # plan triple (___attplan1); "two-launch" forces the two-stage
         # score/aggregate plan pairs (___attplan, softmax on XLA)
         self.attention_plans = attention_plans
-        self._geoms: Dict[str, tuple] = {}
+        # pass one shared dict to the train/val/test loaders so the
+        # autotune (and especially "autotune+measure"'s on-device
+        # timing) runs once per geometry, not once per split
+        self._geoms: Dict[str, tuple] = (geoms_cache if geoms_cache
+                                         is not None else {})
 
     def _collate(self, datas):
         batch = collate_sparse(datas, self.keys, self.annotate,

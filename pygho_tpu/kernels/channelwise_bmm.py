@@ -108,6 +108,12 @@ _TRAIN_KERNEL = True
 
 
 def set_cw_train_kernel(on: bool) -> None:
+    """Select the training-path implementation (see _TRAIN_KERNEL note).
+
+    Call BEFORE the first traced train step: the flag is read at trace
+    time, so an already-compiled step keeps executing the path it was
+    traced with (the same set-before-trace contract as
+    ``set_channelwise_bmm`` / ``set_fused_math``)."""
     global _TRAIN_KERNEL
     _TRAIN_KERNEL = bool(on)
 

@@ -1392,10 +1392,16 @@ def _time_strip_plans(plans, D: int, exact: bool,
     ops, best = [], [float("inf")] * len(plans)
     for p in plans:
         try:
+            # device_put the PLAN too: its index arrays are host numpy
+            # (tens of MB on giant graphs) and jit re-transfers numpy
+            # args every call — through the tunnel that transfer would
+            # dominate the timing and rank candidates by plan bytes,
+            # not kernel speed
             U = jax.device_put(
                 rng.normal(size=(p.u_rows, D)).astype(np.float32))
             V = jax.device_put(
                 rng.normal(size=(p.v_rows, D)).astype(np.float32))
+            p = jax.device_put(p)
             float(jnp.sum(run(U, V, p)))          # compile + warm
             ops.append((U, V, p))
         except Exception:                         # Mosaic crash at the
@@ -1405,9 +1411,14 @@ def _time_strip_plans(plans, D: int, exact: bool,
             if op is None:
                 continue
             U, V, p = op
-            t0 = time.perf_counter()
-            float(jnp.sum(run(U, V, p)))
-            best[i] = min(best[i], (time.perf_counter() - t0) / iters)
+            try:
+                t0 = time.perf_counter()
+                float(jnp.sum(run(U, V, p)))
+                best[i] = min(best[i],
+                              (time.perf_counter() - t0) / iters)
+            except Exception:       # runtime failure / tunnel outage:
+                ops[i] = None       # drop the candidate, keep tuning
+                best[i] = float("inf")
     return best
 
 
@@ -1459,14 +1470,23 @@ def autotune_strip_geoms(acd: np.ndarray, x_rows: int, a_rows: int,
                 # Mosaic ceiling and launch splitting can't cut it —
                 # this candidate simply doesn't fit the workload
                 continue
-            scored.append((estimate_strip_cost(plan, D, exact), g, plan))
+            # keep the plan only when the measure stage will time it —
+            # retaining all ~20 candidates' plans (tens of MB each on
+            # giant graphs) would blow host memory for plain autotune
+            scored.append((estimate_strip_cost(plan, D, exact), g,
+                           plan if measure > 0 else None))
         if not scored:
             raise StripPlanError("no strip geometry candidate fits")
         scored.sort(key=lambda cg: cg[0])
         if measure > 0 and jax.default_backend() == "tpu":
-            finalists = [(g, plan) for _, g, plan in scored
-                         if not probe or _probe_strip_geom(g, D, exact)]
-            finalists = finalists[:measure]
+            # probe lazily in cost order and stop at `measure`
+            # finalists — each uncached probe is a remote compile
+            finalists = []
+            for _, g, plan in scored:
+                if len(finalists) >= measure:
+                    break
+                if not probe or _probe_strip_geom(g, D, exact):
+                    finalists.append((g, plan))
             if finalists:
                 ts = _time_strip_plans([p for _, p in finalists],
                                        D, exact)

@@ -11,7 +11,24 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs/logs
 
-while ps -o args= -C bash 2>/dev/null | grep -q "matrix_r5.sh"; do
+# wait on the queue SHELL itself, excluding this process and its
+# ancestors (a wrapper like `bash -c 'matrix_r5.sh; final_r5.sh'`
+# would otherwise match its own args forever)
+queue_alive() {
+  local pid
+  for pid in $(pgrep -f "bash scripts/matrix_r5.sh" 2>/dev/null); do
+    [ "$pid" = "$$" ] && continue
+    local anc=$$
+    local is_anc=0
+    while [ "$anc" -gt 1 ] 2>/dev/null; do
+      anc=$(ps -o ppid= -p "$anc" 2>/dev/null | tr -d ' ') || break
+      [ "$anc" = "$pid" ] && { is_anc=1; break; }
+    done
+    [ "$is_anc" = 0 ] && return 0
+  done
+  return 1
+}
+while queue_alive; do
   sleep 180
 done
 echo "matrix_r5 done; final stage starts ($(date -u +%H:%M:%S))"
