@@ -1260,23 +1260,18 @@ _STRIP_GEOMS = (
     (384, 512, 256, 256, 2048, 1, 16, 1),
     (256, 512, 128, 128, 2048, 1, 16, 1),
     (512, 256, 256, 256, 1024, 1, 16, 1),
-    # r5 hardware A/B winners on the 556k fragmented community graph
-    # (runs/giant_pv_r4.json, interleaved medians, same session):
-    # pv at S = St = 512 BEATS the S = 256 guidance above — 4.76-4.79 ms
-    # vs the r3 Gv=16 winner's 5.70 (1.20x) — because pv's per-step DMA
-    # is u-only (v amortized per window), which held at measured rates
-    # while every Gv>1 plan's per-step sub-window DMA failed to overlap
-    # (measured ~1.9x its max(comp, dma) estimate; see BENCHMARKS
-    # "Giant-pv hardware A/B").  The cost model still prices pv above
-    # the Gv family on this graph — use autotune(measure=K) where the
-    # plan is reused enough to amortize on-device timing.
+    # r5 pv candidates at S = St = 512 (vs the S = 256 guidance above).
+    # CAUTION: the first A/B (runs/giant_pv_r4.json) that read these as
+    # 1.20x winners was bias-contaminated — the harness passed HOST
+    # numpy plans as jit args, which re-transfer every call (measured
+    # 280-330 ms/dispatch vs 25-33 with device plans, interleaved), and
+    # plan sizes differ ~1.6x across candidates, favoring the
+    # small-plan pv entries.  Kept in the pool because the cost model
+    # prices them above the Gv family anyway (they only surface via
+    # autotune(measure=K), which times device-resident plans); the
+    # unbiased re-measure is queued as runs/giant_pv_r5.json.
     (384, 512, 512, 512, 2048, 1, 16, 1),
     (512, 512, 512, 512, 2048, 1, 16, 1),
-    # r5 granularity-matched Gv=64 family, hardware-validated at
-    # 5.02-5.26 ms on the same graph (beats the Gv=16 winner in-session,
-    # loses to pv); promoted so cost-ranked autotune stops picking Gv=16
-    (384, 256, 256, 128, 1024, 64),
-    (384, 256, 512, 256, 1024, 64),
 )
 
 # per-launch VMEM budget for the CONSERVATIVE estimator below (which
@@ -1292,12 +1287,12 @@ _STRIP_GEOMS = (
 # 32-row run at the graph's ~0.3 per-strip v-intersection density),
 # cutting sub-chunks far below C.  Gv=32-64 at Rv=1024 matches
 # granularity to density: est 2.67-2.73 ms vs the Gv=16 winner's 3.65.
-# Hardware-validated 2026-08-20 (runs/giant_pv_r4.json): the family
-# measured 5.0-5.9 ms — beating the Gv=16 winner in-session (5.70) but
-# ~1.9x its own estimate (the per-step sub-window DMA does not overlap
-# with compute at measured rates), and losing to the pv S=St=512
-# candidates (4.76).  The two best entries are promoted into
-# _STRIP_GEOMS above; this tuple remains the A/B candidate list.
+# First A/B 2026-08-20 (runs/giant_pv_r4.json) measured the family at
+# 5.0-5.9 ms, but that artifact is bias-contaminated (host-plan jit
+# args re-transferred per call, see the pv pool note above) — the
+# in-session ordering it showed is NOT trustworthy and the family is
+# NOT promoted; runs/giant_pv_r5.json (device-resident plans) is the
+# deciding artifact.  This tuple remains the A/B candidate list.
 _STRIP_GEOMS_R5_GIANT = (
     (384, 256, 256, 128, 1024, 64),
     (256, 256, 512, 256, 512, 32),

@@ -110,6 +110,13 @@ def main():
     for name, geom in cands.items():
         try:
             p = mk_plan(geom)
+            # device_put the plan: numpy jit args re-transfer EVERY
+            # call, and plan sizes differ 2x across candidates (6-13
+            # MB) — host plans would bias the A/B toward small-plan
+            # candidates by ~(plan bytes / tunnel BW / N) per
+            # contraction (found in the r5 code review; bench.py's
+            # strip section already device_puts its plan)
+            p = jax.device_put(p)
             plans[name] = p
             est[name] = estimate_strip_cost(p, D, True) * 1e3
             nw = p.n_v_windows if p.v_persistent else p.n_steps
