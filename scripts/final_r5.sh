@@ -47,11 +47,12 @@ harness() {
   fi
 }
 
+# order = value under round-end time pressure: the NGAT re-measure is
+# the paired A/B for the r5 projection fix; giant_pv_r5 is the
+# deciding artifact for the plan-transfer CORRECTION (the r4-named one
+# passed HOST plans as jit args); dense last; bench.py is run by the
+# driver anyway at round end.
 harness ngat_ablate_r5  python scripts/bench_ngat_ablate.py
-harness dense_ablate_r5 python scripts/bench_dense_ablate.py
-# unbiased giant A/B: the r4-named artifact passed HOST plans as jit
-# args (plan-transfer bias, see BENCHMARKS CORRECTION); the harness now
-# device_puts plans — this artifact is the deciding one
 harness giant_pv_r5     python scripts/bench_giant_pv.py
-harness bench_r5_final  python bench.py
+harness dense_ablate_r5 python scripts/bench_dense_ablate.py
 echo "final_r5 complete ($(date -u +%H:%M:%S))"
