@@ -416,13 +416,14 @@ def _shift_bound(a1, av):
     return jax.lax.stop_gradient(m.astype(jnp.float32))[None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_attention_strip(a1: jax.Array, a3: jax.Array, av: jax.Array,
                           a2: jax.Array, fwd: StripPlan, dxp: StripPlan,
                           dap: StripPlan,
                           nonempty: Optional[jax.Array] = None,
                           interpret: Optional[bool] = None,
-                          exact: bool = True) -> jax.Array:
+                          exact: bool = True,
+                          poison: bool = True) -> jax.Array:
     """out[a] = softmax_k(a1[c_k]*av[d_k]*a2[a])-weighted sum of a3[c_k]
     over triples (a, c, d) — the full NGAT attention chain in one strip
     launch (plus the final division).  a1/a3/a2: (x_rows, D);
@@ -435,13 +436,24 @@ def fused_attention_strip(a1: jax.Array, a3: jax.Array, av: jax.Array,
     normalized regime; any f32 softmax is in range trouble there) are
     poisoned with NaN instead of returning a silent 0, so NaN guards
     catch it; without the mask they return 0 like genuinely empty rows.
+
+    ``poison=False`` (training mode): flushed rows return a finite 0
+    with zero gradient for the step instead of NaN.  The loud default
+    is for eval/serving, where a flush means the inputs are outside
+    the trained regime; during TRAINING the transient is NORMAL — one
+    aggressive optimizer step (e.g. the reference's tuned lr 1e-2 on
+    ZINC) spreads scores past the global-shift f32 window on some
+    rows, and poisoning turns a recoverable transient into a nan loss
+    that kills the run (observed r5: NGAT tuned-HP run died at epoch
+    1; the torch reference's per-row-max softmax trains through it).
     """
     out, _ = _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty,
-                      interpret, exact)
+                      interpret, exact, poison)
     return out
 
 
-def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact):
+def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact,
+             poison=True):
     m = _shift_bound(a1, av)
     # per-operand tuples — _pad_to is a no-op whenever the loader's
     # row buckets already match the plan paddings (the common case), so
@@ -456,14 +468,19 @@ def _att_fwd(a1, a3, av, a2, fwd, dxp, dap, nonempty, interpret, exact):
     if nonempty is not None:
         # measured f32 edge (v5e, f64-oracle buckets): channels with
         # den >= e^-60 are accurate to <1e-4; below that num/den is
-        # cancellation junk.  Poison, don't silently mis-normalize.
+        # cancellation junk.  Eval (poison=True): NaN, don't silently
+        # mis-normalize.  Train (poison=False): finite 0 with zero
+        # grad for the step — the backward already zeroes flushed
+        # cotangents, so the transient is recoverable.
         bad = _pad_to(nonempty.reshape(-1, 1),
                       fwd.out_rows) & (den_raw < _DEN_FLOOR)
-        out = jnp.where(bad, jnp.float32(jnp.nan), out)
+        out = jnp.where(bad,
+                        jnp.float32(jnp.nan) if poison else
+                        jnp.float32(0.0), out)
     return out, (a1, a3, av, a2, m, out, den_raw, fwd, dxp, dap, nonempty)
 
 
-def _att_bwd(interpret, exact, res, g):
+def _att_bwd(interpret, exact, poison, res, g):
     a1, a3, av, a2, m, out, den_raw, fwdp, dxp, dap, nonempty = res
     D = a1.shape[-1]
     x_rows = a1.shape[0]

@@ -1128,6 +1128,53 @@ def test_strip_attention_underflow_is_loud_not_silent(rng):
         assert maxdiff(want[ok], got[ok]) < 2e-4
 
 
+def test_strip_attention_train_mode_flush_is_finite(rng):
+    """poison=False (training): flushed rows return finite 0 with zero
+    gradient for the step — one aggressive optimizer step must not turn
+    into a nan loss (the r5 tuned-lr NGAT run died at epoch 1 under
+    poisoning; the torch reference's per-row softmax trains through the
+    transient).  Eval keeps the loud NaN contract (test above), and
+    NGATConv's flag rides model.train()/.eval()."""
+    from pygho_tpu.kernels.strip_attention import fused_attention_strip
+
+    (a, c, d), plans, (a1, a3, av, a2) = _att_setup(rng, scale=3.0)
+    x_rows = a1.shape[0]
+    nonempty = jnp.zeros(x_rows, bool).at[jnp.asarray(a)].set(True)
+    poisoned = np.asarray(fused_attention_strip(
+        a1, a3, av, a2, *plans, nonempty, True, True)[:x_rows])
+    flushed = np.isnan(poisoned).any(axis=1)
+    assert flushed.any()
+
+    got = np.asarray(fused_attention_strip(
+        a1, a3, av, a2, *plans, nonempty, True, True, False)[:x_rows])
+    assert np.isfinite(got).all()
+    # poisoning/zeroing is per (row, channel): exactly the entries the
+    # eval forward NaN'd are 0 in train mode; all others are unchanged
+    nan_mask = np.isnan(poisoned)
+    assert np.abs(got[nan_mask]).max() == 0.0
+    assert maxdiff(got[~nan_mask], poisoned[~nan_mask]) == 0.0
+
+    gk = jax.grad(lambda args: jnp.sum(fused_attention_strip(
+        *args, *plans, nonempty, True, True, False)[:x_rows]))(
+            (a1, a3, av, a2))
+    for g in gk:
+        assert bool(jnp.isfinite(g).all())
+
+    # NGATConv: nnx train()/eval() flip the poison flag
+    from flax import nnx
+
+    from pygho_tpu.models import make_sp_model
+
+    m = make_sp_model("NGAT", num_layer=1, hiddim=128)
+    conv = m.subggnns[0]
+    m.train()
+    assert conv.use_running_average is False
+    m.eval()
+    assert conv.use_running_average is True
+    m.train()
+    assert conv.use_running_average is False
+
+
 @pytest.mark.parametrize("exc", ["assert", "planerr"])
 def test_attention_planner_fallback_is_counted(rng, exc):
     """When the single-launch attention planner cannot cover the
