@@ -222,13 +222,6 @@ class NGATConv(nnx.Module):
         self.attA = nnx.Linear(indim, outdim, rngs=rngs)
         self.att2 = nnx.Linear(indim, outdim, rngs=rngs)
         self.att3 = nnx.Linear(indim, outdim, rngs=rngs)
-        # rides nnx model.train()/.eval() (same flag name BN uses):
-        # False (train) -> flushed softmax rows yield finite 0 with zero
-        # grad for the step (aggressive-lr transients are normal and
-        # recoverable — the r5 tuned-HP run died at epoch 1 under NaN
-        # poisoning); True (eval/serving) -> loud NaN poisoning so
-        # out-of-regime inputs are caught (kernels/strip_attention.py)
-        self.use_running_average = False
         self.lin = MLP(indim, outdim, rngs=rngs, **mlp)
         self.aggr_str = aggr
         # registers the precompute key for parse_precomputekey; the actual
@@ -307,10 +300,17 @@ class NGATConv(nnx.Module):
                 ones = jnp.ones((acd.shape[1], 1), jnp.float32)
                 nonempty = segment_reduce(ones, acd[0], nseg, "sum",
                                           indices_are_sorted=True)[:, 0] > 0
+            # poison default OFF: flushed (row, channel)s yield finite 0
+            # (mid-training evals routinely visit transiently-flushing
+            # models; a loud NaN default aborts tuned-lr runs — r5).
+            # set_attention_poison(True) restores the loud contract for
+            # serving/debug (kernels/strip_attention.py)
+            from ..kernels.strip_attention import get_attention_poison
+
             out = fused_attention_strip(a1, a3, aA, a2, *attplan1,
                                         nonempty, None,
                                         get_fused_math(),
-                                        self.use_running_average)[:nseg]
+                                        get_attention_poison())[:nseg]
             return SparseTensor(indices=tX.indices,
                                 values=out.astype(tX.values.dtype),
                                 nnz=tX.nnz, sparse_shape=tX.sparse_shape)

@@ -60,9 +60,16 @@ __all__ = ["strip_attention_role", "fused_attention_strip",
 
 
 # denominator floor: the measured f32 accuracy edge (~e^-60) — below
-# this the forward poisons (with a nonempty mask) and the backward
-# zeroes the channel's cotangent
+# this the forward poisons (with a nonempty mask; opt-in) or returns 0
 _DEN_FLOOR = 1e-26
+# backward cotangent floor == the forward floor.  (r5 tried widening
+# this to 1e-8 against the tuned-lr fused-NGAT nan; WRONG — the loose
+# global-shift bound puts legitimate dens at ~1e-18 even for unit-scale
+# activations, and the oracle gradient parity breaks at 0.58 rel.  The
+# tuned-lr chained-fused instability is still open: repro in
+# BENCHMARKS "NGAT tuned-HP"; unfused XLA path is clean and is the
+# production fallback for aggressive-lr NGAT training.)
+_GRAD_FLOOR = _DEN_FLOOR
 
 # role -> (Wu, Wv, Wt, Wout) window lane widths in units of D
 _ROLE_WIDTHS = {
@@ -416,6 +423,27 @@ def _shift_bound(a1, av):
     return jax.lax.stop_gradient(m.astype(jnp.float32))[None]
 
 
+
+# Poison-mode default: OFF.  r5 measured that mid-training periodic
+# evals routinely visit transiently-flushing models (one aggressive
+# tuned-lr step spreads scores past the global-shift f32 window), so a
+# loud NaN default aborts legitimate training runs at either the train
+# step (chained) or the val metric (dispatched).  The torch reference's
+# per-row-max softmax has no such edge and trains through.  Serving /
+# debugging can opt back into the loud contract:
+# set_attention_poison(True) BEFORE tracing (read at trace time).
+_POISON = False
+
+
+def set_attention_poison(on: bool) -> None:
+    global _POISON
+    _POISON = bool(on)
+
+
+def get_attention_poison() -> bool:
+    return _POISON
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_attention_strip(a1: jax.Array, a3: jax.Array, av: jax.Array,
                           a2: jax.Array, fwd: StripPlan, dxp: StripPlan,
@@ -490,7 +518,7 @@ def _att_bwd(interpret, exact, poison, res, g):
     # every gradient that row's triples touch (measured 1e-2 rel on
     # da3) — zero their cotangent instead; the forward already poisons
     # them with NaN under the nonempty mask
-    safe = den_raw >= _DEN_FLOOR
+    safe = den_raw >= _GRAD_FLOOR
     gZ = jnp.where(safe,
                    g.astype(jnp.float32)[:den_raw.shape[0]]
                    / jnp.maximum(den_raw, 1e-30), 0.0)

@@ -1160,19 +1160,18 @@ def test_strip_attention_train_mode_flush_is_finite(rng):
     for g in gk:
         assert bool(jnp.isfinite(g).all())
 
-    # NGATConv: nnx train()/eval() flip the poison flag
-    from flax import nnx
+    # poisoning is opt-in (serving/debug): default off — r5 measured
+    # that mid-training periodic evals routinely visit transiently
+    # flushing models, so a loud default aborts tuned-lr runs
+    from pygho_tpu.kernels.strip_attention import (get_attention_poison,
+                                                   set_attention_poison)
 
-    from pygho_tpu.models import make_sp_model
-
-    m = make_sp_model("NGAT", num_layer=1, hiddim=128)
-    conv = m.subggnns[0]
-    m.train()
-    assert conv.use_running_average is False
-    m.eval()
-    assert conv.use_running_average is True
-    m.train()
-    assert conv.use_running_average is False
+    assert get_attention_poison() is False
+    set_attention_poison(True)
+    try:
+        assert get_attention_poison() is True
+    finally:
+        set_attention_poison(False)
 
 
 @pytest.mark.parametrize("exc", ["assert", "planerr"])
